@@ -1,0 +1,299 @@
+"""Generic batched IRLS Gauss-Newton / Levenberg-Marquardt engine.
+
+From-scratch replacement for the reference's callback-driven ``Optimizer``
+(src/optimizer.cpp:161-370): same structure — residual/jacobian/update
+functors, Tukey IRLS with sigma = 1.4826·MAD, dense normal equations
+``H = JᵀWJ``, LDLT solve, three damping strategies (Marquardt / Quadratic /
+Nielsen, include/optimizer.hpp:14-19), rollback on a failed step, and the same
+convergence gates (max 20 iters, step < 1e-16, lambda bounds, |dx| > 1e3 or NaN
+abort, src/optimizer.cpp:13-27,314-334) — but as one ``lax.while_loop`` whose
+body is a fixed-shape tensor program:
+
+* residuals for ALL observations come from one batched functor (the
+  reference's per-feature loops are the caller's vmap),
+* the while-carry holds (params, previous params, residual state, lambda, nu),
+  and rollback is a ``tree_map`` of ``jnp.where`` — no host control flow,
+* the D×D solve uses ``cho_solve`` with a jitter fallback.
+
+``params`` may be ANY pytree (SE3, (N,3) point blocks, per-feature 3-vectors);
+the caller supplies ``update_fn(params, dx) -> params`` as the retraction — the
+analog of the reference's explicit instantiations over SE3/SE2/Vec3/Point
+(src/optimizer.cpp:602-630).
+"""
+
+from __future__ import annotations
+
+import enum
+from functools import partial
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sdvo_tpu.geometry.robust import masked_mad
+
+
+class LevenbergMethod(enum.Enum):
+    MARQUARDT = "marquardt"  # H += lambda * diag(H); lambda /9 or *11
+    QUADRATIC = "quadratic"  # (reference keeps this branch disabled; we map it to Nielsen)
+    NIELSEN = "nielsen"  # H += lambda * I; Nielsen's nu schedule
+
+
+class OptimizerStatus:
+    """Bit-compatible with the reference's ``Optimizer::Status`` intent."""
+
+    SUCCESS = 0
+    NON_SUFF_POINTS = 1
+    MAX_COFF_DX = 2
+    NON_FINITE_DX = 3
+    SMALL_STEP = 4
+    LAMBDA_BOUND = 5
+    FAILED = 6
+
+
+class LMSettings(NamedTuple):
+    max_iterations: int = 20
+    min_chi2: float = 1e-1
+    min_step: float = 1e-16
+    max_dx: float = 1e3
+    init_lambda: float = 1e-2
+    lambda_min: float = 1e-14
+    lambda_max: float = 1e14
+    method: str = "nielsen"
+    # robust weighting applied each residual pass ("tukey" matches the
+    # reference's hard-coded tukeyWeighting; any MESTIMATORS key works)
+    estimator: str = "tukey"
+
+
+def tukey_weights(residuals: jax.Array, visible: jax.Array) -> jax.Array:
+    """The reference's ``Optimizer::tukeyWeighting`` (src/optimizer.cpp:485-514):
+    sigma = 1.4826·MAD over visible residuals, c = 4.6851σ, zero outside."""
+    sigma = 1.4826 * masked_mad(residuals, visible)
+    sigma = jnp.maximum(sigma, jnp.finfo(residuals.dtype).eps)
+    c = 4.6851 * sigma
+    w = (1.0 - (residuals * residuals) / (c * c)) ** 2
+    w = jnp.where(jnp.abs(residuals) <= c, w, 0.0)
+    return jnp.where(visible, w, 0.0)
+
+
+def _weights_for(estimator: str, residuals: jax.Array, visible: jax.Array) -> jax.Array:
+    if estimator == "tukey":
+        return tukey_weights(residuals, visible)
+    from sdvo_tpu.optim.estimators import mestimator_weights
+
+    return mestimator_weights(residuals, estimator, visible)
+
+
+def _chi2(residuals: jax.Array, weights: jax.Array, visible: jax.Array) -> jax.Array:
+    r2 = residuals * residuals * weights
+    return jnp.sum(jnp.where(visible, r2, 0.0))
+
+
+def _solve_damped(H: jax.Array, g: jax.Array) -> jax.Array:
+    """Solve H dx = g via Cholesky with diagonal-jitter fallback."""
+    dtype = H.dtype
+    eye = jnp.eye(H.shape[0], dtype=dtype)
+
+    def try_solve(jitter):
+        L, ok = _chol(H + jitter * eye)
+        dx = jax.scipy.linalg.cho_solve((L, True), g)
+        return dx, ok & jnp.all(jnp.isfinite(dx))
+
+    dx0, ok0 = try_solve(jnp.asarray(0.0, dtype))
+    dx1, _ = try_solve(jnp.asarray(1e-6, dtype) * jnp.trace(H))
+    return jnp.where(ok0, dx0, dx1)
+
+
+def _chol(A: jax.Array):
+    L = jnp.linalg.cholesky(A)
+    ok = jnp.all(jnp.isfinite(L))
+    L = jnp.where(ok, L, jnp.eye(A.shape[0], dtype=A.dtype))
+    return L, ok
+
+
+class _LMState(NamedTuple):
+    params: Any
+    pre_params: Any
+    residuals: jax.Array
+    weights: jax.Array
+    visible: jax.Array
+    chi2: jax.Array
+    pre_chi2: jax.Array
+    lam: jax.Array
+    nu: jax.Array
+    iteration: jax.Array
+    status: jax.Array
+    done: jax.Array
+
+
+def optimize_lm(
+    params0: Any,
+    residual_fn: Callable[[Any], Tuple[jax.Array, jax.Array]],
+    jacobian_fn: Callable[[Any], jax.Array],
+    update_fn: Callable[[Any, jax.Array], Any],
+    settings: LMSettings = LMSettings(),
+) -> Tuple[Any, jax.Array, jax.Array]:
+    """Levenberg-Marquardt with IRLS robust weights.
+
+    Args:
+      params0: pytree of initial parameters.
+      residual_fn: params -> (residuals (N,), visible (N,) bool). N static.
+      jacobian_fn: params -> J (N, D). For inverse-compositional problems pass
+        ``lambda p: J_const``.
+      update_fn: (params, dx (D,)) -> params — the retraction, including sign
+        convention (image alignment uses ``pose · exp(-dx)``,
+        src/image_alignment.cpp:372-380).
+      settings: LMSettings.
+
+    Returns (params, rmse, status); on failed/aborted steps params roll back to
+    the last accepted iterate, matching src/optimizer.cpp:352-360.
+    """
+    method = LevenbergMethod(settings.method) if not isinstance(settings.method, LevenbergMethod) else settings.method
+    use_marquardt = method == LevenbergMethod.MARQUARDT
+
+    r0, vis0 = residual_fn(params0)
+    dtype = r0.dtype
+    w0 = _weights_for(settings.estimator, r0, vis0)
+    chi0 = _chi2(r0, w0, vis0)
+
+    # probe J once for shape/D
+    J_probe = jacobian_fn(params0)
+    D = J_probe.shape[-1]
+
+    init = _LMState(
+        params=params0,
+        pre_params=params0,
+        residuals=r0,
+        weights=w0,
+        visible=vis0,
+        chi2=chi0,
+        pre_chi2=chi0,
+        lam=jnp.asarray(settings.init_lambda, dtype),
+        nu=jnp.asarray(2.0, dtype),
+        iteration=jnp.asarray(0, jnp.int32),
+        status=jnp.asarray(OptimizerStatus.SUCCESS, jnp.int32),
+        done=jnp.asarray(False),
+    )
+
+    def cond(s: _LMState):
+        return (~s.done) & (s.iteration < settings.max_iterations)
+
+    def body(s: _LMState) -> _LMState:
+        J = jacobian_fn(s.params)  # (N, D)
+        wv = jnp.where(s.visible, s.weights, 0.0)
+        Jw = J * wv[:, None]
+        H = J.T @ Jw  # (D, D) — JᵀWJ (src/optimizer.cpp:279)
+        g = Jw.T @ s.residuals  # JᵀWr
+
+        diagH = jnp.diagonal(H)
+        # Nielsen: on the very first iteration scale lambda by max diag
+        # (src/optimizer.cpp:296-302).
+        lam = jnp.where(
+            (~jnp.asarray(use_marquardt)) & (s.iteration == 0),
+            s.lam * jnp.max(diagH),
+            s.lam,
+        )
+        if use_marquardt:
+            H_damped = H + jnp.diag(lam * diagH)
+        else:
+            H_damped = H + lam * jnp.eye(D, dtype=dtype)
+
+        dx = _solve_damped(H_damped, g)
+
+        # abort gates (src/optimizer.cpp:314-334)
+        bad_dx = jnp.max(dx) > settings.max_dx
+        nonfinite = ~jnp.all(jnp.isfinite(dx))
+        step = jnp.sum(dx * dx)
+        small_step = step < settings.min_step
+        lam_bound = (lam >= settings.lambda_max) | (lam <= settings.lambda_min)
+
+        new_params = update_fn(s.params, dx)
+        r_new, vis_new = residual_fn(new_params)
+        w_new = _weights_for(settings.estimator, r_new, vis_new)
+        chi_new = _chi2(r_new, w_new, vis_new)
+
+        rho = s.chi2 - chi_new
+        success = rho > 0.0
+
+        # damping update (Optimizer::updateParameters, src/optimizer.cpp:405-468)
+        if use_marquardt:
+            lam_next = jnp.where(
+                success,
+                jnp.maximum(lam / 9.0, 1e-7),
+                jnp.minimum(lam * 11.0, 1e7),
+            )
+            nu_next = s.nu
+        else:
+            lam_next = jnp.where(
+                success,
+                lam * jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3),
+                lam * s.nu,
+            )
+            nu_next = jnp.where(success, 2.0, s.nu * 2.0)
+
+        abort = bad_dx | nonfinite | small_step | lam_bound
+        accept = success & ~abort
+
+        def sel(new, old):
+            return jax.tree_util.tree_map(
+                lambda a, b: jnp.where(accept, a, b), new, old
+            )
+
+        params_out = sel(new_params, s.params)
+        status = jnp.where(bad_dx, OptimizerStatus.MAX_COFF_DX, s.status)
+        status = jnp.where(nonfinite, OptimizerStatus.NON_FINITE_DX, status)
+        status = jnp.where(small_step, OptimizerStatus.SMALL_STEP, status)
+        status = jnp.where(lam_bound & ~small_step, OptimizerStatus.LAMBDA_BOUND, status)
+
+        return _LMState(
+            params=params_out,
+            pre_params=s.params,
+            residuals=jnp.where(accept, r_new, s.residuals),
+            weights=jnp.where(accept, w_new, s.weights),
+            visible=jnp.where(accept, vis_new, s.visible),
+            chi2=jnp.where(accept, chi_new, s.chi2),
+            pre_chi2=s.chi2,
+            lam=lam_next,
+            nu=nu_next,
+            iteration=s.iteration + 1,
+            status=status,
+            done=abort,
+        )
+
+    final = jax.lax.while_loop(cond, body, init)
+    n_vis = jnp.maximum(jnp.sum(final.visible.astype(dtype)), 1.0)
+    rmse = jnp.sqrt(final.chi2 / n_vis)
+    return final.params, rmse, final.status
+
+
+def optimize_gn(
+    params0: Any,
+    residual_fn: Callable[[Any], Tuple[jax.Array, jax.Array]],
+    jacobian_fn: Callable[[Any], jax.Array],
+    update_fn: Callable[[Any, jax.Array], Any],
+    settings: LMSettings = LMSettings(),
+) -> Tuple[Any, jax.Array, jax.Array]:
+    """Plain Gauss-Newton (``Optimizer::optimizeGN``): fixed iterations, no
+    damping, no rollback — every step accepted."""
+
+    r0, vis0 = residual_fn(params0)
+    dtype = r0.dtype
+
+    def body(i, carry):
+        params, _, _ = carry
+        r, vis = residual_fn(params)
+        w = _weights_for(settings.estimator, r, vis)
+        J = jacobian_fn(params)
+        wv = jnp.where(vis, w, 0.0)
+        Jw = J * wv[:, None]
+        H = J.T @ Jw
+        g = Jw.T @ r
+        dx = _solve_damped(H, g)
+        params = update_fn(params, dx)
+        return (params, _chi2(r, w, vis), jnp.sum(vis.astype(dtype)))
+
+    params, chi2, nvis = jax.lax.fori_loop(
+        0, settings.max_iterations, body, (params0, jnp.asarray(0.0, dtype), jnp.asarray(1.0, dtype))
+    )
+    rmse = jnp.sqrt(chi2 / jnp.maximum(nvis, 1.0))
+    return params, rmse, jnp.asarray(OptimizerStatus.SUCCESS, jnp.int32)
