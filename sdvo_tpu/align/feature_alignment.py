@@ -1,0 +1,165 @@
+"""Per-feature 2D patch alignment (translation + illumination offset).
+
+TPU-native redesign of the reference's ``FeatureAlignment``
+(src/feature_alignment.cpp:25-205): refines each reprojected feature's pixel
+position on the GRADIENT images (level 0) with a 3-parameter
+inverse-compositional LM — params (u, v, illumination offset), Jacobian
+``[dI/dx, dI/dy, 1]`` per patch pixel fixed at the reference patch, residual
+``-(I_cur(warp) - I_ref + offset)``, additive update.
+
+The reference runs one scalar LM per candidate inside ``Map::reprojectCell``
+(src/map.cpp:505-579). Here ALL candidates across the whole frame run
+simultaneously: every array carries a leading feature axis N, each feature has
+its own damping state, and the 3×3 normal solves are closed-form cofactor
+inverses batched on the VPU.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sdvo_tpu.geometry.robust import masked_mad
+from sdvo_tpu.image.interp import bilinear_sample, patch_offsets
+
+
+def _solve3x3(H: jax.Array, g: jax.Array) -> jax.Array:
+    """Batched 3×3 solve via cofactor (adjugate) inverse. H: (N,3,3), g: (N,3)."""
+    a, b, c = H[..., 0, 0], H[..., 0, 1], H[..., 0, 2]
+    d, e, f = H[..., 1, 0], H[..., 1, 1], H[..., 1, 2]
+    g2, h, i = H[..., 2, 0], H[..., 2, 1], H[..., 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g2)
+    C = d * h - e * g2
+    det = a * A + b * B + c * C
+    det_safe = jnp.where(jnp.abs(det) < 1e-12, 1.0, det)
+    inv = jnp.stack(
+        [
+            jnp.stack([A, -(b * i - c * h), b * f - c * e], axis=-1),
+            jnp.stack([B, a * i - c * g2, -(a * f - c * d)], axis=-1),
+            jnp.stack([C, -(a * h - b * g2), a * e - b * d], axis=-1),
+        ],
+        axis=-2,
+    ) / det_safe[..., None, None]
+    dx = jnp.einsum("nij,nj->ni", inv, g)
+    return jnp.where((jnp.abs(det) < 1e-12)[..., None], 0.0, dx)
+
+
+def _tukey_per_feature(res: jax.Array, vis: jax.Array) -> jax.Array:
+    """Per-feature Tukey weights over that feature's patch pixels.
+
+    res, vis: (N, P²). Mirrors Optimizer::tukeyWeighting applied per feature.
+    """
+    sigma = jax.vmap(masked_mad)(res, vis) * 1.4826  # (N,)
+    sigma = jnp.maximum(sigma, 1e-6)
+    c = 4.6851 * sigma[:, None]
+    w = (1.0 - (res * res) / (c * c)) ** 2
+    w = jnp.where(jnp.abs(res) <= c, w, 0.0)
+    return jnp.where(vis, w, 0.0)
+
+
+class FeatureAlignState(NamedTuple):
+    params: jax.Array  # (N, 3): u, v, illumination offset
+    lam: jax.Array  # (N,)
+    nu: jax.Array  # (N,)
+    chi2: jax.Array  # (N,)
+
+
+def align_features_2d(
+    ref_gradient: jax.Array,  # (H, W) gradient image of the HOST frame, level 0
+    cur_gradient: jax.Array,  # (H, W) gradient image of the current frame
+    uv_ref: jax.Array,  # (N, 2) feature position in the host image
+    uv_init: jax.Array,  # (N, 2) initial position in the current image
+    valid: jax.Array,  # (N,)
+    patch_size: int = 5,
+    max_iterations: int = 10,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Batched 2D+illumination alignment of N features at once.
+
+    Returns (uv_refined (N,2), final_error (N,) — RMSE over patch pixels in
+    gradient-intensity units (the reference gates on 50, src/map.cpp:538),
+    converged (N,) bool).
+    """
+    half = patch_size // 2
+    border = half + 2
+    H, W = cur_gradient.shape
+    dtype = uv_init.dtype
+    offs = patch_offsets(patch_size, dtype=dtype)  # (P², 2)
+    P2 = offs.shape[0]
+
+    # --- reference patches + fixed jacobian (computeJacobian, :64-110) ------
+    uv_r = uv_ref[:, None, :] + offs[None, :, :]  # (N, P², 2)
+    ref_patch, _ = bilinear_sample(ref_gradient, uv_r)
+    ex = jnp.array([1.0, 0.0], dtype)
+    ey = jnp.array([0.0, 1.0], dtype)
+    gx = 0.5 * (bilinear_sample(ref_gradient, uv_r + ex)[0] - bilinear_sample(ref_gradient, uv_r - ex)[0])
+    gy = 0.5 * (bilinear_sample(ref_gradient, uv_r + ey)[0] - bilinear_sample(ref_gradient, uv_r - ey)[0])
+    ones = jnp.ones_like(gx)
+    J = jnp.stack([gx, gy, ones], axis=-1)  # (N, P², 3)
+
+    ref_inside = (
+        (uv_ref[:, 0] >= border) & (uv_ref[:, 1] >= border)
+        & (uv_ref[:, 0] < W - border) & (uv_ref[:, 1] < H - border)
+    )
+    live = valid & ref_inside
+
+    def residuals(params):
+        uv_c = params[:, None, :2] + offs[None, :, :]  # (N, P², 2)
+        cur_vals, _ = bilinear_sample(cur_gradient, uv_c)
+        # r = -(cur - ref + offset)  (src/feature_alignment.cpp:155)
+        r = -(cur_vals - ref_patch + params[:, None, 2])
+        inside = (
+            (params[:, 0] >= border) & (params[:, 1] >= border)
+            & (params[:, 0] < W - border) & (params[:, 1] < H - border)
+        )
+        vis = live & inside
+        visp = jnp.broadcast_to(vis[:, None], r.shape)
+        return jnp.where(visp, r, 0.0), visp
+
+    params0 = jnp.concatenate([uv_init, jnp.zeros((uv_init.shape[0], 1), dtype)], axis=-1)
+    r0, vis0 = residuals(params0)
+    w0 = _tukey_per_feature(r0, vis0)
+    chi0 = jnp.sum(r0 * r0 * w0, axis=-1)
+
+    init = FeatureAlignState(
+        params=params0,
+        lam=jnp.full((uv_init.shape[0],), 1e-2, dtype),
+        nu=jnp.full((uv_init.shape[0],), 2.0, dtype),
+        chi2=chi0,
+    )
+
+    def body(i, s: FeatureAlignState):
+        r, vis = residuals(s.params)
+        w = _tukey_per_feature(r, vis)
+        Jw = J * w[..., None]  # (N, P², 3)
+        Hn = jnp.einsum("npi,npj->nij", Jw, J)  # (N, 3, 3)
+        gn = jnp.einsum("npi,np->ni", Jw, r)
+        lam_eff = jnp.where(i == 0, s.lam * jnp.max(jnp.abs(jnp.diagonal(Hn, axis1=-2, axis2=-1)), axis=-1), s.lam)
+        Hd = Hn + lam_eff[:, None, None] * jnp.eye(3, dtype=dtype)
+        dx = _solve3x3(Hd, gn)
+        new_params = s.params + dx  # additive (src/feature_alignment.cpp:200-205)
+        r_new, vis_new = residuals(new_params)
+        w_new = _tukey_per_feature(r_new, vis_new)
+        chi_new = jnp.sum(r_new * r_new * w_new, axis=-1)
+        rho = s.chi2 - chi_new
+        success = rho > 0.0
+        lam_next = jnp.where(
+            success,
+            lam_eff * jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3),
+            lam_eff * s.nu,
+        )
+        nu_next = jnp.where(success, 2.0, s.nu * 2.0)
+        params_next = jnp.where(success[:, None], new_params, s.params)
+        chi_next = jnp.where(success, chi_new, s.chi2)
+        return FeatureAlignState(params_next, lam_next, nu_next, chi_next)
+
+    final = jax.lax.fori_loop(0, max_iterations, body, init)
+
+    r_f, vis_f = residuals(final.params)
+    n_vis = jnp.maximum(jnp.sum(vis_f, axis=-1), 1)
+    rmse = jnp.sqrt(jnp.sum(r_f * r_f, axis=-1) / n_vis)
+    moved = jnp.linalg.norm(final.params[:, :2] - uv_init, axis=-1)
+    converged = live & (moved < patch_size * 2.0)
+    return final.params[:, :2], rmse, converged
