@@ -143,8 +143,10 @@ def align_features_2d(
         r_new, vis_new = residuals(new_params)
         w_new = _tukey_per_feature(r_new, vis_new)
         chi_new = jnp.sum(r_new * r_new * w_new, axis=-1)
-        rho = s.chi2 - chi_new
-        success = rho > 0.0
+        # normalized gain ratio (see sdvo_tpu.optim.optimizer for rationale)
+        pred = jnp.sum(dx * (lam_eff[:, None] * dx + gn), axis=-1)
+        rho = (s.chi2 - chi_new) / jnp.maximum(pred, 1e-30)
+        success = (s.chi2 - chi_new) > 0.0
         lam_next = jnp.where(
             success,
             lam_eff * jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3),

@@ -99,7 +99,9 @@ class SparseImageAlign:
         min_level: int = 0,
         max_level: int = 3,
         settings: LMSettings = LMSettings(),
+        use_esm: bool = True,
     ):
+        self.use_esm = bool(use_esm)
         self.patch_size = int(patch_size)
         self.half_patch = self.patch_size // 2
         self.patch_area = self.patch_size * self.patch_size
@@ -159,7 +161,7 @@ class SparseImageAlign:
         J = gx[..., None] * row_u[:, None, :] + gy[..., None] * row_v[:, None, :]  # (N, P², 6)
         J = jnp.where(visible[:, None, None], J, 0.0)
         patches = jnp.where(visible[:, None], patches, 0.0)
-        return patches, J, visible
+        return patches, J, visible, (gx, gy, row_u, row_v)
 
     # -- per-level residuals (the reference's computeResiduals, :251-308) ----
     def _residuals_level(
@@ -209,7 +211,7 @@ class SparseImageAlign:
         rmse = jnp.asarray(0.0, feats.points_ref.dtype)
         status = jnp.asarray(0, jnp.int32)
         for level in range(self.max_level, self.min_level - 1, -1):
-            patches, J, visible = self.precompute_level(
+            patches, J, visible, (gx_ref, gy_ref, row_u, row_v) = self.precompute_level(
                 host_pyramid[level], feats, fx, fy, level
             )
             J_flat = J.reshape(-1, 6)
@@ -219,14 +221,45 @@ class SparseImageAlign:
                     T_, cur_pyramid[_lvl], feats, _patches, _visible, fx, fy, cx, cy, _lvl
                 )
 
-            def jacobian_fn(T_, _J=J_flat):
-                return _J
+            if self.use_esm:
+                # ESM: average the (frozen) reference gradients with the
+                # CURRENT image gradients at the projected positions —
+                # second-order convergence without the pure-IC bias; the
+                # geometric 2×6 rows stay frozen at the ref-frame point.
+                def jacobian_fn(
+                    T_, _lvl=level, _gx=gx_ref, _gy=gy_ref, _ru=row_u, _rv=row_v,
+                    _visible=visible,
+                ):
+                    cur_img = cur_pyramid[_lvl]
+                    uv = self._project_level(T_, feats, fx, fy, cx, cy, _lvl)
+                    offs = patch_offsets(self.patch_size, dtype=uv.dtype)
+                    uvp = uv[:, None, :] + offs[None, :, :]
+                    ex = jnp.array([1.0, 0.0], uv.dtype)
+                    ey = jnp.array([0.0, 1.0], uv.dtype)
+                    cgx = 0.5 * (bilinear_sample(cur_img, uvp + ex)[0] - bilinear_sample(cur_img, uvp - ex)[0])
+                    cgy = 0.5 * (bilinear_sample(cur_img, uvp + ey)[0] - bilinear_sample(cur_img, uvp - ey)[0])
+                    gx = 0.5 * (_gx + cgx)
+                    gy = 0.5 * (_gy + cgy)
+                    Jn = gx[..., None] * _ru[:, None, :] + gy[..., None] * _rv[:, None, :]
+                    Jn = jnp.where(_visible[:, None, None], Jn, 0.0)
+                    return Jn.reshape(-1, 6)
+            else:
+                def jacobian_fn(T_, _J=J_flat):
+                    return _J
 
             def update_fn(T_, dx):
                 return T_.compose(se3.exp(-dx))
 
             T, rmse, status = optimize_lm(T, residual_fn, jacobian_fn, update_fn, self.settings)
         return T, rmse, status
+
+    def _project_level(self, T_cur_ref: SE3, feats: AlignFeatures, fx, fy, cx, cy, level: int):
+        scale = 1.0 / (1 << level)
+        p_cur = T_cur_ref.apply(feats.points_ref)
+        z = jnp.where(p_cur[..., 2] < 1e-6, 1.0, p_cur[..., 2])
+        u = (fx * p_cur[..., 0] / z + cx) * scale
+        v = (fy * p_cur[..., 1] / z + cy) * scale
+        return jnp.stack([u, v], axis=-1)
 
     def align(
         self,

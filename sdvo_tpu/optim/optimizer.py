@@ -212,8 +212,16 @@ def optimize_lm(
         w_new = _weights_for(settings.estimator, r_new, vis_new)
         chi_new = _chi2(r_new, w_new, vis_new)
 
-        rho = s.chi2 - chi_new
-        success = rho > 0.0
+        # Gain ratio rho = actual decrease / predicted decrease. The reference
+        # feeds the RAW chi2 difference into Nielsen's formula
+        # (src/optimizer.cpp:441-455) — which only behaves when chi2 is large;
+        # the proper normalized gain ratio (the formula in the reference's own
+        # comment, :438) works at every residual scale, so we use it.
+        pred = jnp.sum(dx * (lam * dx + g)) if not use_marquardt else jnp.sum(
+            dx * (lam * diagH * dx + g)
+        )
+        rho = (s.chi2 - chi_new) / jnp.maximum(pred, jnp.finfo(dtype).tiny)
+        success = (s.chi2 - chi_new) > 0.0
 
         # damping update (Optimizer::updateParameters, src/optimizer.cpp:405-468)
         if use_marquardt:

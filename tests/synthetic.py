@@ -24,15 +24,23 @@ def smooth_texture(rng, size=2048, blur=9):
     return tex
 
 
-def render_plane(texture, cam, T_wc: SE3, plane_z: float = 10.0, tex_scale: float = 40.0):
+def render_plane(texture, cam, T_wc: SE3, plane_z: float = 10.0, tex_scale: float = 40.0,
+                 supersample: int = 2):
     """Render the plane z_w = plane_z textured by ``texture``.
 
     Texture coords: (x_w, y_w) * tex_scale + center. T_wc maps world→camera.
+    Rendered with ``supersample``× oversampling + Gaussian pyrDown so image
+    pairs are band-limited and photometrically consistent (pure bilinear
+    lookup acts as a pose-dependent blur that biases alignment tests).
     Returns (H, W) jnp image.
     """
-    H, W = cam.height, cam.width
+    from sdvo_tpu.image.pyramid import pyr_down
+
+    s = int(supersample)
+    H, W = cam.height * s, cam.width * s
     vv, uu = np.meshgrid(np.arange(H, dtype=np.float64), np.arange(W, dtype=np.float64), indexing="ij")
-    uv = jnp.asarray(np.stack([uu, vv], axis=-1)).reshape(-1, 2)
+    # supersampled pixel grid maps to original pixel coords (u+0.?)/s
+    uv = jnp.asarray(np.stack([uu, vv], axis=-1)).reshape(-1, 2) / s
     bearing_c = cam.backproject(uv)  # (HW, 3) unit, camera frame
     T_cw = T_wc.inverse()
     C = T_cw.translation  # camera center in world
@@ -42,4 +50,7 @@ def render_plane(texture, cam, T_wc: SE3, plane_z: float = 10.0, tex_scale: floa
     tex_c = texture.shape[0] / 2.0
     tex_uv = jnp.stack([pts_w[:, 0] * tex_scale + tex_c, pts_w[:, 1] * tex_scale + tex_c], axis=-1)
     vals, _ = bilinear_sample(jnp.asarray(texture), tex_uv)
-    return vals.reshape(H, W)
+    img = vals.reshape(H, W)
+    for _ in range(max(s.bit_length() - 1, 0)):
+        img = pyr_down(img)
+    return img

