@@ -1,0 +1,157 @@
+"""Batched epipolar-line ZSSD matching for depth-filter updates.
+
+Replaces ``algorithm::matchEpipolarConstraint`` (src/algorithm.cpp:412-551):
+project the [min, max]-depth hypotheses into the current frame, walk the
+epipolar segment scoring a zero-mean SAD between the (affine-warped) current
+patch and the fixed reference patch, take the argmin, triangulate.
+
+TPU redesign: the reference walks a variable-length segment per feature in a
+scalar loop; here every filter samples a FIXED number of positions K along its
+own segment (short segments oversample — harmless), so the whole filter bank
+is one (F, K, P²) gather + reduction. SURVEY §7 hard part (d).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sdvo_tpu.geometry.se3 import SE3
+from sdvo_tpu.geometry.triangulation import triangulate_two_view_depth
+from sdvo_tpu.image.interp import bilinear_sample, patch_offsets
+
+
+def affine_warp_matrix(
+    T_cur_ref: SE3,
+    uv_ref: jax.Array,  # (F, 2)
+    depth_ref: jax.Array,  # (F,)
+    fx, fy, cx, cy,
+    half_patch: int,
+) -> jax.Array:
+    """Batched first-order affine warp ref-patch → cur-patch
+    (``algorithm::getAffineWarp``, src/algorithm.cpp:335-367): finite
+    differences of the reprojection at (+h, 0) and (0, +h)."""
+
+    def backproject(uv):
+        x = (uv[..., 0] - cx) / fx
+        y = (uv[..., 1] - cy) / fy
+        b = jnp.stack([x, y, jnp.ones_like(x)], axis=-1)
+        return b / jnp.linalg.norm(b, axis=-1, keepdims=True)
+
+    def project(p):
+        z = jnp.where(jnp.abs(p[..., 2]) < 1e-9, 1e-9, p[..., 2])
+        return jnp.stack([fx * p[..., 0] / z + cx, fy * p[..., 1] / z + cy], axis=-1)
+
+    h = float(half_patch)
+    du = jnp.asarray([h, 0.0], uv_ref.dtype)
+    dv = jnp.asarray([0.0, h], uv_ref.dtype)
+    p_c = backproject(uv_ref) * depth_ref[:, None]
+    p_u = backproject(uv_ref + du) * depth_ref[:, None]
+    p_v = backproject(uv_ref + dv) * depth_ref[:, None]
+    c_c = project(T_cur_ref.apply(p_c))
+    c_u = project(T_cur_ref.apply(p_u))
+    c_v = project(T_cur_ref.apply(p_v))
+    A = jnp.stack([(c_u - c_c) / h, (c_v - c_c) / h], axis=-1)  # (F, 2, 2) cols
+    return A
+
+
+def zssd_score(ref_patch: jax.Array, cur_patch: jax.Array) -> jax.Array:
+    """Zero-mean SAD (the reference's ``computeScore``,
+    src/algorithm.cpp:396-410 — despite the ZSSD name it sums |·|)."""
+    r = ref_patch - jnp.mean(ref_patch, axis=-1, keepdims=True)
+    c = cur_patch - jnp.mean(cur_patch, axis=-1, keepdims=True)
+    return jnp.sum(jnp.abs(r - c), axis=-1)
+
+
+def epipolar_search(
+    T_cur_ref: SE3,  # batched (F,) relative poses ref-kf → cur
+    cur_image: jax.Array,  # (H, W)
+    ref_patches: jax.Array,  # (F, P²) fixed reference patches
+    bearings_ref: jax.Array,  # (F, 3) unit
+    mu: jax.Array,  # (F,) inverse-depth mean
+    inv_min: jax.Array,  # (F,) upper inverse depth (near bound)
+    inv_max: jax.Array,  # (F,) lower inverse depth (far bound)
+    valid: jax.Array,  # (F,)
+    fx, fy, cx, cy,
+    patch_size: int = 7,
+    num_steps: int = 64,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Returns (depth_ref (F,), matched (F,), best_uv (F, 2)).
+
+    depth_ref is the triangulated depth along the reference bearing at the
+    best-scoring location; ``matched`` combines the in-image, score and
+    cheirality gates (threshold = patchArea·128, src/algorithm.cpp:427).
+    """
+    H, W = cur_image.shape
+    dtype = mu.dtype
+    half = patch_size // 2
+    P2 = patch_size * patch_size
+
+    def project(p):
+        z = jnp.where(jnp.abs(p[..., 2]) < 1e-9, 1e-9, p[..., 2])
+        return jnp.stack([fx * p[..., 0] / z + cx, fy * p[..., 1] / z + cy], axis=-1)
+
+    def clampuv(uv):
+        return jnp.stack(
+            [jnp.clip(uv[..., 0], 0.0, W - 1.0), jnp.clip(uv[..., 1], 0.0, H - 1.0)], axis=-1
+        )
+
+    d_center = 1.0 / jnp.maximum(mu, 1e-9)
+    d_min = 1.0 / jnp.maximum(inv_min, 1e-9)  # near depth
+    d_max = 1.0 / jnp.maximum(inv_max, 1e-9)  # far depth
+    p_center = T_cur_ref.apply(bearings_ref * d_center[:, None])
+    in_front = p_center[..., 2] > 0.0
+    uv_center = project(p_center)
+    inside = (
+        (uv_center[..., 0] >= 0) & (uv_center[..., 0] < W)
+        & (uv_center[..., 1] >= 0) & (uv_center[..., 1] < H)
+    )
+    live = valid & in_front & inside
+
+    uv_min = clampuv(project(T_cur_ref.apply(bearings_ref * d_min[:, None])))
+    uv_max = clampuv(project(T_cur_ref.apply(bearings_ref * d_max[:, None])))
+    epi = uv_max - uv_min  # (F, 2)
+    norm = jnp.linalg.norm(epi, axis=-1)
+
+    # affine warp at the center depth; reference pixel position = projection of
+    # the ref-frame point under the identity pose
+    z_ref = bearings_ref[..., 2] * d_center
+    uv_ref = jnp.stack(
+        [fx * bearings_ref[..., 0] * d_center / jnp.maximum(z_ref, 1e-9) + cx,
+         fy * bearings_ref[..., 1] * d_center / jnp.maximum(z_ref, 1e-9) + cy],
+        axis=-1,
+    )
+    A = affine_warp_matrix(T_cur_ref, uv_ref, d_center, fx, fy, cx, cy, half)  # (F,2,2)
+
+    offs = patch_offsets(patch_size, dtype=dtype)  # (P², 2)
+    offs_w = jnp.einsum("fij,pj->fpi", A, offs)  # (F, P², 2) warped offsets
+
+    # fixed-K positions along the segment (short segments oversample)
+    t = (jnp.arange(num_steps, dtype=dtype) + 0.5) / num_steps  # (K,)
+    locs = uv_min[:, None, :] + t[None, :, None] * epi[:, None, :]  # (F, K, 2)
+    sample_uv = locs[:, :, None, :] + offs_w[:, None, :, :]  # (F, K, P², 2)
+    cur_vals, ok = bilinear_sample(cur_image, sample_uv)
+    patch_ok = jnp.all(ok, axis=-1)  # (F, K)
+    scores = zssd_score(ref_patches[:, None, :], cur_vals)  # (F, K)
+    scores = jnp.where(patch_ok, scores, jnp.inf)
+
+    short = norm < 2.0
+    best_k = jnp.argmin(scores, axis=-1)
+    best_score = jnp.min(scores, axis=-1)
+    best_uv_long = jnp.take_along_axis(locs, best_k[:, None, None], axis=1)[:, 0, :]
+    uv_mid = 0.5 * (uv_min + uv_max)
+    best_uv = jnp.where(short[:, None], uv_mid, best_uv_long)
+
+    threshold = P2 * 128.0
+    score_ok = short | (best_score < threshold)
+
+    # triangulate depth along the ref bearing
+    x = (best_uv[..., 0] - cx) / fx
+    y = (best_uv[..., 1] - cy) / fy
+    bearing_cur = jnp.stack([x, y, jnp.ones_like(x)], axis=-1)
+    depth = triangulate_two_view_depth(T_cur_ref, bearings_ref, bearing_cur)
+    depth_ok = depth > 1e-6
+    matched = live & score_ok & depth_ok
+    return depth, matched, best_uv
