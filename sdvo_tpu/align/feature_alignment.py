@@ -67,16 +67,36 @@ class FeatureAlignState(NamedTuple):
     chi2: jax.Array  # (N,)
 
 
+def _sample_multi(images: jax.Array, idx: jax.Array, uv: jax.Array):
+    """Bilinear sample from per-feature host images (K, H, W); idx (N,)."""
+    K = images.shape[0]
+    vals, oks = [], []
+    for k in range(K):
+        v, ok = bilinear_sample(images[k], uv)
+        vals.append(v)
+        oks.append(ok)
+    vals = jnp.stack(vals)
+    oks = jnp.stack(oks)
+    sel = idx[None, :, None] == jnp.arange(K)[:, None, None]
+    return jnp.sum(jnp.where(sel, vals, 0.0), axis=0), jnp.any(sel & oks, axis=0)
+
+
 def align_features_2d(
-    ref_gradient: jax.Array,  # (H, W) gradient image of the HOST frame, level 0
+    ref_gradient: jax.Array,  # (H, W) or (K, H, W) host-frame gradient image(s), level 0
     cur_gradient: jax.Array,  # (H, W) gradient image of the current frame
     uv_ref: jax.Array,  # (N, 2) feature position in the host image
     uv_init: jax.Array,  # (N, 2) initial position in the current image
     valid: jax.Array,  # (N,)
     patch_size: int = 5,
     max_iterations: int = 10,
+    host_idx: jax.Array = None,  # (N,) int32 into the leading dim of ref_gradient
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Batched 2D+illumination alignment of N features at once.
+
+    Features may come from different host keyframes: pass ``ref_gradient`` as
+    a (K, H, W) stack with ``host_idx`` selecting each feature's host (the
+    reprojection path aligns candidates hosted by any window keyframe,
+    src/map.cpp:505-579).
 
     Returns (uv_refined (N,2), final_error (N,) — RMSE over patch pixels in
     gradient-intensity units (the reference gates on 50, src/map.cpp:538),
@@ -89,13 +109,18 @@ def align_features_2d(
     offs = patch_offsets(patch_size, dtype=dtype)  # (P², 2)
     P2 = offs.shape[0]
 
+    if ref_gradient.ndim == 2:
+        ref_gradient = ref_gradient[None]
+    if host_idx is None:
+        host_idx = jnp.zeros((uv_ref.shape[0],), jnp.int32)
+
     # --- reference patches + fixed jacobian (computeJacobian, :64-110) ------
     uv_r = uv_ref[:, None, :] + offs[None, :, :]  # (N, P², 2)
-    ref_patch, _ = bilinear_sample(ref_gradient, uv_r)
+    ref_patch, _ = _sample_multi(ref_gradient, host_idx, uv_r)
     ex = jnp.array([1.0, 0.0], dtype)
     ey = jnp.array([0.0, 1.0], dtype)
-    gx = 0.5 * (bilinear_sample(ref_gradient, uv_r + ex)[0] - bilinear_sample(ref_gradient, uv_r - ex)[0])
-    gy = 0.5 * (bilinear_sample(ref_gradient, uv_r + ey)[0] - bilinear_sample(ref_gradient, uv_r - ey)[0])
+    gx = 0.5 * (_sample_multi(ref_gradient, host_idx, uv_r + ex)[0] - _sample_multi(ref_gradient, host_idx, uv_r - ex)[0])
+    gy = 0.5 * (_sample_multi(ref_gradient, host_idx, uv_r + ey)[0] - _sample_multi(ref_gradient, host_idx, uv_r - ey)[0])
     ones = jnp.ones_like(gx)
     J = jnp.stack([gx, gy, ones], axis=-1)  # (N, P², 3)
 

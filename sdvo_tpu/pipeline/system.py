@@ -1,0 +1,600 @@
+"""Pipeline orchestration: the System finite-state machine.
+
+Mirrors the reference ``System`` (src/system.cpp / include/system.hpp):
+status machine Process_First_Frame / Second / New / Relocalization
+(include/system.hpp:23-31), constant-velocity pose prediction
+(src/system.cpp:62-65,309), tracking-quality gate (:459-472), every-Nth-frame
+keyframe policy (:505-510), 7-keyframe sliding window with furthest-KF
+eviction (:436-442), KITTI pose output (:635-644).
+
+TPU-native structure: the host owns the FSM, float64 pose chain, and arena
+bookkeeping; every per-frame hot stage is one jitted batched kernel —
+pyramid build, sparse image alignment (relative pose), map reprojection +
+feature alignment, inline depth-filter bank update (the reference's worker
+thread, SURVEY §2.4, disappears), and windowed Schur BA on keyframes.
+"""
+
+from __future__ import annotations
+
+import enum
+import logging
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sdvo_tpu.align.image_alignment import AlignFeatures, SparseImageAlign
+from sdvo_tpu.ba.bundle_adjustment import BAObservations, BASettings, build_point_table, local_ba, optimize_pose
+from sdvo_tpu.config import Config
+from sdvo_tpu.depth.filter import FilterBank, init_filters, update_filters
+from sdvo_tpu.features.detection import FeatureSelection
+from sdvo_tpu.geometry import se3
+from sdvo_tpu.geometry.se3 import SE3
+from sdvo_tpu.geometry.camera import PinholeCamera
+from sdvo_tpu.image.interp import extract_patches
+from sdvo_tpu.image.pyramid import build_pyramid
+from sdvo_tpu.mapping.arena import MapArena, PointType
+from sdvo_tpu.mapping.reproject import reproject_map
+from sdvo_tpu.utils.logging import get_logger
+from sdvo_tpu.utils.timing import Timers
+
+
+class SystemStatus(enum.Enum):
+    """include/system.hpp:23-31."""
+
+    PROCESS_FIRST_FRAME = 0
+    PROCESS_SECOND_FRAME = 1
+    PROCESS_NEW_FRAME = 2
+    RELOCALIZATION = 3
+
+
+class FrameResult(enum.Enum):
+    """include/system.hpp:33-38."""
+
+    SUCCESS = 0
+    KEYFRAME = 1
+    FAILED = 2
+
+
+class _FrameRecord:
+    """Host-side per-frame record (the reference's Frame minus the heavy
+    members that live on device)."""
+
+    def __init__(self, frame_id, timestamp, pyramid, pose_wc):
+        self.frame_id = frame_id
+        self.timestamp = timestamp
+        self.pyramid = pyramid  # device ImagePyramid
+        self.pose_wc = pose_wc  # 4x4 float64 numpy, world→camera
+        self.feat_uv = np.zeros((0, 2))
+        self.feat_point = np.zeros((0,), np.int64)  # arena point slots (−1 = none)
+        self.kf_slot: Optional[int] = None
+
+
+class System:
+    def __init__(self, config: Config, camera: Optional[PinholeCamera] = None, seed: int = 0):
+        self.config = config
+        cfg_a = config.algorithm
+        self.log = get_logger("System")
+        self.timers = Timers()
+        dtype = jnp.float32 if config.compute_dtype == "float32" else jnp.float64
+        self.dtype = dtype
+
+        if camera is None:
+            camera = PinholeCamera.create(
+                721.5377, 721.5377, 609.5593, 172.854,
+                config.camera.img_width, config.camera.img_height, dtype=dtype,
+            )
+        self.camera = camera
+        self.width = camera.width
+        self.height = camera.height
+
+        self.status = SystemStatus.PROCESS_FIRST_FRAME
+        self.arena = MapArena(
+            max_keyframes=cfg_a.max_keyframes + 3,
+            max_points=cfg_a.max_points,
+            max_features_per_kf=cfg_a.max_features_per_frame,
+        )
+        self.arena.intrinsics = (camera.fx, camera.fy, camera.cx, camera.cy)
+        self.selector = FeatureSelection(self.width, self.height, cfg_a.cell_pixel_size)
+        self.aligner = SparseImageAlign(
+            patch_size=cfg_a.patch_size_image_alignment,
+            min_level=cfg_a.min_level_image_pyramid,
+            max_level=cfg_a.max_level_image_pyramid,
+        )
+        self.num_levels = cfg_a.max_level_image_pyramid + 1
+
+        # depth filters: host-mirrored fixed-capacity bank
+        self.filter_patch = 7  # matchEpipolarConstraint patch (src/depth_estimator.cpp:244)
+        self.filters = FilterBank.empty(cfg_a.max_filters, self.filter_patch**2, dtype)
+
+        self.ref_frame: Optional[_FrameRecord] = None
+        self.last_kf: Optional[_FrameRecord] = None
+        self.prev_rel = np.eye(4)  # constant-velocity model T_cur_prev
+        self.frame_count = 0
+        self.trajectory: List[Optional[np.ndarray]] = []  # per input frame, 4x4 world→cam or None
+        self.metrics: List[Dict] = []
+        self.np_rng = np.random.default_rng(seed)
+        self.jax_key = jax.random.PRNGKey(seed)
+        self.pose_refinement = True  # bearing-vector pose polish after reprojection
+
+    # ------------------------------------------------------------------ api
+    def add_image(self, image: np.ndarray, timestamp: float) -> FrameResult:
+        """Per-frame entry point (``System::addImage``, src/system.cpp:34-76)."""
+        t0 = time.perf_counter()
+        assert image.ndim == 2, "grayscale input required (Frame ctor check, src/frame.cpp:20-24)"
+        img = jnp.asarray(image, self.dtype)
+        with self.timers.scope("pyramid"):
+            pyramid = build_pyramid(img, self.num_levels)
+        frame = _FrameRecord(self.frame_count, timestamp, pyramid, np.eye(4))
+        self.frame_count += 1
+
+        if self.status == SystemStatus.PROCESS_FIRST_FRAME:
+            result = self._process_first_frame(frame)
+        elif self.status == SystemStatus.PROCESS_SECOND_FRAME:
+            result = self._process_second_frame(frame)
+        elif self.status == SystemStatus.PROCESS_NEW_FRAME:
+            result = self._process_new_frame(frame)
+        else:
+            result = self._relocalize_frame(frame)
+
+        self.trajectory.append(None if result == FrameResult.FAILED else frame.pose_wc.copy())
+        self.metrics.append(
+            {
+                "frame": frame.frame_id,
+                "result": result.name,
+                "n_features": len(frame.feat_uv),
+                "n_keyframes": self.arena.num_keyframes(),
+                "n_points": int(self.arena.pt_valid.sum()),
+                "n_filters": int(np.asarray(self.filters.valid).sum()),
+                "wall_ms": (time.perf_counter() - t0) * 1e3,
+            }
+        )
+        return result
+
+    def write_poses(self, path: str):
+        from sdvo_tpu.dataio.poses import write_kitti_poses
+
+        write_kitti_poses(path, self.trajectory)
+
+    # ------------------------------------------------------- state handlers
+    def _process_first_frame(self, frame: _FrameRecord) -> FrameResult:
+        """Detect features, make the first keyframe (src/system.cpp:78-115)."""
+        cfg = self.config
+        grad = np.asarray(frame.pyramid.base_gradient)
+        self.selector.reset_grid()
+        feats = self.selector.detect_with_ssc(
+            grad, cfg.initialization.threshold_gradient_magnitude,
+            cfg.initialization.desired_detected_points,
+        )
+        if len(feats.uv) < cfg.initialization.min_detected_points:
+            self.log.warning("first frame: only %d features", len(feats.uv))
+            return FrameResult.FAILED
+        frame.pose_wc = np.eye(4)
+        frame.feat_uv = feats.uv.astype(np.float64)
+        frame.feat_point = -np.ones(len(feats.uv), np.int64)
+        frame.kf_slot = self.arena.add_keyframe(frame.frame_id, frame.pose_wc, frame.pyramid)
+        self.ref_frame = frame
+        self.last_kf = frame
+        self.status = SystemStatus.PROCESS_SECOND_FRAME
+        return FrameResult.KEYFRAME
+
+    def _process_second_frame(self, frame: _FrameRecord) -> FrameResult:
+        """Two-frame bootstrap (src/system.cpp:117-302)."""
+        from sdvo_tpu.pipeline.bootstrap import bootstrap_two_view
+
+        cfg = self.config
+        self.jax_key, sub = jax.random.split(self.jax_key)
+        with self.timers.scope("bootstrap"):
+            res = bootstrap_two_view(
+                self.ref_frame.pyramid, frame.pyramid,
+                self.ref_frame.feat_uv, self.camera, sub,
+                min_disparity=cfg.initialization.disparity_threshold,
+                min_inliers=cfg.initialization.min_detected_points // 2,
+                map_scale_factor=cfg.initialization.map_scale_factor,
+                klt_window=cfg.initialization.patch_size_optical_flow,
+                ransac_hypotheses=cfg.initialization.ransac_hypotheses,
+                ransac_threshold_px=cfg.initialization.ransac_threshold_px,
+            )
+        if not res.success:
+            self.log.warning("bootstrap failed: %s", res.reason)
+            return FrameResult.FAILED
+
+        frame.pose_wc = res.T_cur_ref @ self.ref_frame.pose_wc
+
+        # create points + features in both frames
+        n = len(res.points_w)
+        pt_slots = np.empty(n, np.int64)
+        for i in range(n):
+            pt_slots[i] = self.arena.add_point(res.points_w[i], PointType.GOOD)
+        ok = pt_slots >= 0
+        self.arena.add_features(self.ref_frame.kf_slot, res.uv_ref[ok], pt_slots[ok])
+        # update ref frame record (its pre-bootstrap features are replaced)
+        self.ref_frame.feat_uv = res.uv_ref[ok]
+        self.ref_frame.feat_point = pt_slots[ok]
+
+        frame.feat_uv = res.uv_cur[ok]
+        frame.feat_point = pt_slots[ok]
+        frame.kf_slot = self.arena.add_keyframe(frame.frame_id, frame.pose_wc, frame.pyramid)
+        self.arena.add_features(frame.kf_slot, res.uv_cur[ok], pt_slots[ok])
+
+        # redetect fresh features avoiding existing ones (src/system.cpp:252-254)
+        self._redetect_and_seed_filters(frame, res.median_depth, 0.5 * res.min_depth)
+
+        self.last_kf = frame
+        self.ref_frame = frame
+        self.prev_rel = res.T_cur_ref
+        self.status = SystemStatus.PROCESS_NEW_FRAME
+        self.log.info(
+            "bootstrap ok: %d points, median depth %.2f", int(ok.sum()), res.median_depth
+        )
+        return FrameResult.KEYFRAME
+
+    def _process_new_frame(self, frame: _FrameRecord) -> FrameResult:
+        """Steady-state tracking (src/system.cpp:304-446)."""
+        cfg = self.config
+        ref = self.ref_frame
+        lastkf = self.last_kf
+
+        # 1. constant-velocity prediction (src/system.cpp:62-65,309)
+        T_pred_rel = self.prev_rel.copy()
+
+        # 2. sparse image alignment vs ref frame (+ last KF features)
+        T_rel, align_rmse = self._sparse_align(frame, T_pred_rel)
+        frame.pose_wc = T_rel @ ref.pose_wc
+
+        # 3. map reprojection + batched feature alignment (src/map.cpp:260-489)
+        with self.timers.scope("reproject"):
+            rep = self._reproject(frame)
+
+        # 4. optional pose polish on matched features (bearing residuals)
+        if self.pose_refinement and len(rep.pt_slot) >= 10:
+            with self.timers.scope("pose_refine"):
+                self._refine_pose(frame, rep)
+
+        # 5. tracking quality gate (src/system.cpp:459-472)
+        n_obs = len(rep.pt_slot)
+        ref_obs = int((ref.feat_point >= 0).sum())
+        if n_obs < cfg.algorithm.min_tracked_features or (ref_obs - n_obs) > cfg.algorithm.max_dropped_features:
+            self.log.warning("tracking quality failed: %d obs (ref %d)", n_obs, ref_obs)
+            frame.pose_wc = ref.pose_wc.copy()  # freeze pose (:400-404)
+            self.status = SystemStatus.RELOCALIZATION
+            return FrameResult.FAILED
+
+        frame.feat_uv = rep.uv
+        frame.feat_point = rep.pt_slot
+
+        # 6. scene depth stats in the current frame
+        pts_cam = self._points_in_frame(frame)
+        depth_mean = float(np.median(pts_cam[:, 2])) if len(pts_cam) else 1.0
+        depth_min = float(np.min(pts_cam[:, 2])) if len(pts_cam) else 0.1
+
+        # 7. keyframe decision — every Nth frame (src/system.cpp:505-510;
+        #    note the reference's needKeyframe() returns true for NOT-keyframe)
+        diff_id = frame.frame_id - lastkf.frame_id
+        is_kf = diff_id >= cfg.algorithm.keyframe_every_n
+
+        # 8. depth-filter bank update — inline (replaces the worker thread)
+        with self.timers.scope("depth_filters"):
+            self._update_depth_filters(frame)
+
+        if not is_kf:
+            self.ref_frame = frame
+            self.prev_rel = T_rel
+            return FrameResult.SUCCESS
+
+        # --- keyframe path --------------------------------------------------
+        frame.kf_slot = self.arena.add_keyframe(frame.frame_id, frame.pose_wc, frame.pyramid)
+        self.arena.add_features(frame.kf_slot, frame.feat_uv, frame.feat_point)
+
+        with self.timers.scope("local_ba"):
+            self._run_local_ba(frame)
+
+        self._redetect_and_seed_filters(frame, depth_mean, 0.5 * depth_min)
+
+        # sliding window eviction (src/system.cpp:436-442)
+        if self.arena.num_keyframes() > cfg.algorithm.max_keyframes:
+            center = self.arena.camera_center(frame.kf_slot)
+            far = self.arena.furthest_keyframe(center)
+            if far is not None and far != frame.kf_slot:
+                self._drop_filters_of_kf(far)
+                self.arena.remove_keyframe(far)
+
+        self.last_kf = frame
+        self.ref_frame = frame
+        self.prev_rel = T_rel
+        return FrameResult.KEYFRAME
+
+    def _relocalize_frame(self, frame: _FrameRecord) -> FrameResult:
+        """Relocalization stub matching the reference (src/system.cpp:448-457):
+        align against the closest keyframe, resume on success."""
+        center = -self.ref_frame.pose_wc[:3, :3].T @ self.ref_frame.pose_wc[:3, 3]
+        slot = self.arena.closest_keyframe(center)
+        if slot is None:
+            return FrameResult.FAILED
+        kf_pose = self.arena.kf_pose[slot]
+        kf_pyr = self.arena.kf_pyramids[slot]
+        rows = np.nonzero(self.arena.feat_valid[slot] & (self.arena.feat_point[slot] >= 0))[0]
+        if len(rows) < 20 or kf_pyr is None:
+            return FrameResult.FAILED
+        kf_rec = _FrameRecord(int(self.arena.kf_frame_id[slot]), 0.0, kf_pyr, kf_pose)
+        kf_rec.feat_uv = self.arena.feat_uv[slot, rows]
+        kf_rec.feat_point = self.arena.feat_point[slot, rows]
+        kf_rec.kf_slot = slot
+        saved_ref, saved_kf = self.ref_frame, self.last_kf
+        self.ref_frame = kf_rec
+        self.last_kf = kf_rec
+        T_rel, rmse = self._sparse_align(frame, np.eye(4))
+        if float(rmse) < 80.0:
+            frame.pose_wc = T_rel @ kf_pose
+            self.prev_rel = np.eye(4)
+            self.ref_frame = frame
+            rep = self._reproject(frame)
+            if len(rep.pt_slot) >= 30:
+                frame.feat_uv = rep.uv
+                frame.feat_point = rep.pt_slot
+                self.status = SystemStatus.PROCESS_NEW_FRAME
+                return FrameResult.SUCCESS
+        self.ref_frame, self.last_kf = saved_ref, saved_kf
+        return FrameResult.FAILED
+
+    # ------------------------------------------------------------- helpers
+    def _sparse_align(self, frame: _FrameRecord, T_pred_rel: np.ndarray):
+        """Build the batched feature set (ref frame + last KF features,
+        src/image_alignment.cpp:30-41) and run coarse-to-fine alignment."""
+        cfg = self.config
+        ref = self.ref_frame
+        lastkf = self.last_kf
+        cap = 2 * cfg.algorithm.max_features_per_frame
+        dtype = np.float64 if self.dtype == jnp.float64 else np.float32
+
+        uv = np.zeros((cap, 2), dtype)
+        host = np.zeros(cap, np.int32)
+        pref = np.zeros((cap, 3), dtype)
+        pref[:, 2] = 1.0
+        val = np.zeros(cap, bool)
+        T_ref_w = ref.pose_wc
+
+        n = 0
+        for host_idx, rec in ((0, ref), (1, lastkf)):
+            if rec is None:
+                continue
+            sel = rec.feat_point >= 0
+            uvs = rec.feat_uv[sel]
+            pts = rec.feat_point[sel]
+            live = self.arena.pt_valid[pts]
+            uvs, pts = uvs[live], pts[live]
+            k = min(len(uvs), cap - n)
+            if k <= 0 or (host_idx == 1 and rec is ref):
+                continue
+            p_w = self.arena.pt_pos[pts[:k]]
+            p_ref = (T_ref_w[:3, :3] @ p_w.T).T + T_ref_w[:3, 3]
+            uv[n : n + k] = uvs[:k]
+            host[n : n + k] = host_idx
+            pref[n : n + k] = p_ref
+            val[n : n + k] = p_ref[:, 2] > 1e-3
+            n += k
+
+        feats = AlignFeatures(
+            uv_host=jnp.asarray(uv),
+            host_idx=jnp.asarray(host),
+            points_ref=jnp.asarray(pref),
+            valid=jnp.asarray(val),
+        )
+        host_pyr = []
+        kf_pyr = lastkf.pyramid if lastkf is not None else ref.pyramid
+        for lvl in range(self.num_levels):
+            host_pyr.append(jnp.stack([ref.pyramid.images[lvl], kf_pyr.images[lvl]]))
+
+        # initial relative pose: T_cur_ref = T_pred_rel (prev frame motion)
+        T0 = SE3(jnp.asarray(T_pred_rel[:3, :3], self.dtype), jnp.asarray(T_pred_rel[:3, 3], self.dtype))
+        with self.timers.scope("image_align"):
+            T_est, rmse, status = self.aligner.align(
+                T0, host_pyr, frame.pyramid.images, feats,
+                self.camera.fx, self.camera.fy, self.camera.cx, self.camera.cy,
+            )
+        T_rel = np.eye(4)
+        T_rel[:3, :3] = np.asarray(T_est.rotation, np.float64)
+        T_rel[:3, 3] = np.asarray(T_est.translation, np.float64)
+        # re-orthonormalize (float32 drift guard)
+        U, _, Vt = np.linalg.svd(T_rel[:3, :3])
+        T_rel[:3, :3] = U @ Vt
+        return T_rel, rmse
+
+    def _reproject(self, frame: _FrameRecord):
+        cfg = self.config
+        kf_slots = self.arena.keyframe_slots()
+        K = self.arena.max_keyframes
+        H, W = self.height, self.width
+        grads = []
+        for s in range(K):
+            pyr = self.arena.kf_pyramids[s]
+            grads.append(pyr.base_gradient if pyr is not None else jnp.zeros((H, W), self.dtype))
+        kf_grad = jnp.stack(grads)
+        T_cur = SE3(
+            jnp.asarray(frame.pose_wc[:3, :3], self.dtype),
+            jnp.asarray(frame.pose_wc[:3, 3], self.dtype),
+        )
+        return reproject_map(
+            T_cur, frame.pyramid.base_gradient, kf_grad, self.arena,
+            cell_size=cfg.algorithm.cell_pixel_size,
+            max_matches=cfg.algorithm.max_reprojection_matches,
+            max_error=cfg.algorithm.feature_alignment_max_error,
+            patch_size=cfg.algorithm.patch_size_feature_alignment,
+            rng=self.np_rng,
+        )
+
+    def _refine_pose(self, frame: _FrameRecord, rep):
+        pts_w = jnp.asarray(self.arena.pt_pos[rep.pt_slot], self.dtype)
+        bearings = self.camera.backproject(jnp.asarray(rep.uv, self.dtype))
+        T0 = SE3(
+            jnp.asarray(frame.pose_wc[:3, :3], self.dtype),
+            jnp.asarray(frame.pose_wc[:3, 3], self.dtype),
+        )
+        T_out, rmse, status = optimize_pose(
+            T0, pts_w, bearings, jnp.ones((len(rep.pt_slot),), bool)
+        )
+        T = np.eye(4)
+        T[:3, :3] = np.asarray(T_out.rotation, np.float64)
+        T[:3, 3] = np.asarray(T_out.translation, np.float64)
+        U, _, Vt = np.linalg.svd(T[:3, :3])
+        T[:3, :3] = U @ Vt
+        frame.pose_wc = T
+
+    def _points_in_frame(self, frame: _FrameRecord) -> np.ndarray:
+        sel = frame.feat_point >= 0
+        pts = frame.feat_point[sel]
+        pts = pts[self.arena.pt_valid[pts]]
+        if len(pts) == 0:
+            return np.zeros((0, 3))
+        p_w = self.arena.pt_pos[pts]
+        T = frame.pose_wc
+        return (T[:3, :3] @ p_w.T).T + T[:3, 3]
+
+    def _run_local_ba(self, frame: _FrameRecord):
+        """Windowed BA over all arena keyframes; the two oldest stay fixed
+        (gauge) — the reference instead fixes out-of-window covisible KFs
+        (src/bundle_adjustment.cpp:519)."""
+        pack = self.arena.ba_window(dtype=jnp.float64)
+        K = len(pack["slots"])
+        P = pack["points"].shape[0]
+        M = len(pack["cam_idx"])
+        if K < 3 or P < 10 or M < 20:
+            return
+        order = np.argsort(self.arena.kf_frame_id[pack["slots"]])
+        fixed = np.zeros(K, bool)
+        fixed[order[:2]] = True
+        table = build_point_table(pack["pt_idx"], np.ones(M, bool), P, max_obs=K)
+        poses_out, pts_out, chi2_obs, chi2 = local_ba(
+            pack["poses"], pack["points"],
+            BAObservations(
+                jnp.asarray(pack["cam_idx"]), jnp.asarray(pack["pt_idx"]),
+                jnp.asarray(pack["uv"]), jnp.ones((M,), bool),
+            ),
+            jnp.asarray(table), jnp.asarray(fixed), jnp.zeros((P,), bool),
+            self.camera.fx, self.camera.fy, self.camera.cx, self.camera.cy,
+            settings=BASettings(iterations=8, huber_delta=2.0),
+            num_cams=K,
+        )
+        # write back poses/points
+        poses_np_R = np.asarray(poses_out.rotation, np.float64)
+        poses_np_t = np.asarray(poses_out.translation, np.float64)
+        for i, s in enumerate(pack["slots"]):
+            T = np.eye(4)
+            T[:3, :3] = poses_np_R[i]
+            T[:3, 3] = poses_np_t[i]
+            self.arena.kf_pose[s] = T
+        self.arena.pt_pos[pack["live_pts"]] = np.asarray(pts_out, np.float64)
+        # chi2 pruning of observations (src/bundle_adjustment.cpp:583-624)
+        chi2_np = np.asarray(chi2_obs)
+        bad = chi2_np > 5.991
+        cam_idx = pack["cam_idx"]
+        pt_idx = pack["pt_idx"]
+        live_pts = pack["live_pts"]
+        for m in np.nonzero(bad)[0]:
+            s = pack["slots"][cam_idx[m]]
+            p = live_pts[pt_idx[m]]
+            rows = np.nonzero(self.arena.feat_valid[s] & (self.arena.feat_point[s] == p))[0]
+            self.arena.feat_valid[s, rows] = False
+            self.arena.feat_point[s, rows] = -1
+            if not self.arena._point_has_observation(int(p)):
+                self.arena.remove_point(int(p))
+        # keep the tracked frame's pose in sync with its KF slot
+        if frame.kf_slot is not None:
+            frame.pose_wc = self.arena.kf_pose[frame.kf_slot].copy()
+
+    def _redetect_and_seed_filters(self, frame: _FrameRecord, depth_mean: float, depth_min: float):
+        """Feature redetection on a new keyframe + depth-filter seeding
+        (src/system.cpp:428-433, src/depth_estimator.cpp:175-190)."""
+        cfg = self.config
+        grad = np.asarray(frame.pyramid.base_gradient)
+        self.selector.reset_grid()
+        self.selector.set_existing_features(frame.feat_uv)
+        det = self.selector.detect_with_ssc(
+            grad, cfg.initialization.threshold_gradient_magnitude,
+            cfg.initialization.desired_detected_points,
+        )
+        if len(det.uv) == 0:
+            return
+        uv_new = jnp.asarray(det.uv, self.dtype)
+        bearings = self.camera.backproject(uv_new)
+        patches, p_ok = extract_patches(frame.pyramid.base_image, uv_new, self.filter_patch)
+        new_bank = init_filters(
+            uv_new, bearings, patches, kf_slot=frame.kf_slot,
+            depth_mean=jnp.asarray(max(depth_mean, 1e-3), self.dtype),
+            depth_min=jnp.asarray(max(depth_min, 1e-4), self.dtype),
+            kf_counter=self.arena.kf_counter,
+            new_valid=jnp.asarray(np.asarray(p_ok)),
+            dtype=self.dtype,
+        )
+        self._insert_filters(new_bank)
+
+    def _insert_filters(self, new_bank: FilterBank):
+        """Scatter new filters into free bank slots (host bookkeeping)."""
+        valid_np = np.asarray(self.filters.valid)
+        free = np.nonzero(~valid_np)[0]
+        n = min(len(free), int(np.asarray(new_bank.valid).sum()))
+        if n == 0:
+            return
+        src = np.nonzero(np.asarray(new_bank.valid))[0][:n]
+        dst = free[:n]
+        f = {k: np.array(v) for k, v in self.filters._asdict().items()}
+        nb = {k: np.asarray(v) for k, v in new_bank._asdict().items()}
+        for k in f:
+            f[k][dst] = nb[k][src]
+        self.filters = FilterBank(**{k: jnp.asarray(v) for k, v in f.items()})
+
+    def _drop_filters_of_kf(self, slot: int):
+        valid = np.asarray(self.filters.valid).copy()
+        kf_slots = np.asarray(self.filters.kf_slot)
+        valid[kf_slots == slot] = False
+        self.filters = self.filters._replace(valid=jnp.asarray(valid))
+
+    def _update_depth_filters(self, frame: _FrameRecord):
+        """Batched filter-bank update (replaces DepthEstimator thread)."""
+        cfg = self.config
+        valid_np = np.asarray(self.filters.valid)
+        if valid_np.sum() == 0:
+            return
+        # per-filter relative pose host-kf → current frame (host f64 math)
+        kf_slots = np.asarray(self.filters.kf_slot)
+        T_cur = frame.pose_wc
+        R = np.zeros((len(kf_slots), 3, 3))
+        t = np.zeros((len(kf_slots), 3))
+        for s in np.unique(kf_slots[valid_np]):
+            T_kf = self.arena.kf_pose[s] if self.arena.kf_valid[s] else np.eye(4)
+            T_rel = T_cur @ np.linalg.inv(T_kf)
+            sel = kf_slots == s
+            R[sel] = T_rel[:3, :3]
+            t[sel] = T_rel[:3, 3]
+        Tb = SE3(jnp.asarray(R, self.dtype), jnp.asarray(t, self.dtype))
+        bank, converged = update_filters(
+            self.filters, Tb, frame.pyramid.base_image,
+            self.camera.fx, self.camera.fy, self.camera.cx, self.camera.cy,
+            kf_counter=jnp.asarray(self.arena.kf_counter),
+            patch_size=self.filter_patch,
+            num_steps=cfg.algorithm.epipolar_search_steps,
+            staleness=cfg.algorithm.filter_staleness_keyframes,
+            convergence_factor=cfg.algorithm.filter_convergence_sigma_factor,
+        )
+        self.filters = bank
+        conv_np = np.nonzero(np.asarray(converged))[0]
+        if len(conv_np) == 0:
+            return
+        # promote converged filters to CANDIDATE points with an observation in
+        # their host keyframe (Map::addNewCandidate, src/map.cpp:586-593)
+        mu = np.asarray(bank.mu)
+        uv_ref = np.asarray(bank.uv_ref)
+        bearing = np.asarray(bank.bearing_ref)
+        for i in conv_np:
+            s = int(kf_slots[i])
+            if not self.arena.kf_valid[s]:
+                continue
+            depth = 1.0 / max(float(mu[i]), 1e-9)
+            p_kf = bearing[i] * depth
+            T_kf = self.arena.kf_pose[s]
+            p_w = T_kf[:3, :3].T @ (p_kf - T_kf[:3, 3])
+            pt = self.arena.add_point(p_w, PointType.CANDIDATE)
+            if pt >= 0:
+                self.arena.add_features(s, uv_ref[i][None], np.asarray([pt]))

@@ -54,3 +54,33 @@ def render_plane(texture, cam, T_wc: SE3, plane_z: float = 10.0, tex_scale: floa
     for _ in range(max(s.bit_length() - 1, 0)):
         img = pyr_down(img)
     return img
+
+
+def render_ridge(texture, cam, T_wc: SE3, z_near: float = 8.0, z_far: float = 14.0,
+                 split_x: float = 0.0, tex_scale: float = 40.0, supersample: int = 2):
+    """Render a two-depth scene: plane z=z_near for world x < split_x, plane
+    z=z_far otherwise. Non-planar structure avoids the planar degeneracy of
+    essential-matrix bootstrapping (a single plane makes E ill-posed)."""
+    from sdvo_tpu.image.pyramid import pyr_down
+
+    s = int(supersample)
+    H, W = cam.height * s, cam.width * s
+    vv, uu = np.meshgrid(np.arange(H, dtype=np.float64), np.arange(W, dtype=np.float64), indexing="ij")
+    uv = jnp.asarray(np.stack([uu, vv], axis=-1)).reshape(-1, 2) / s
+    bearing_c = cam.backproject(uv)
+    T_cw = T_wc.inverse()
+    C = T_cw.translation
+    dirs_w = T_cw.rotate(bearing_c)
+    lam_near = (z_near - C[2]) / dirs_w[:, 2]
+    lam_far = (z_far - C[2]) / dirs_w[:, 2]
+    p_near = C[None, :] + lam_near[:, None] * dirs_w
+    p_far = C[None, :] + lam_far[:, None] * dirs_w
+    use_near = p_near[:, 0] < split_x
+    pts_w = jnp.where(use_near[:, None], p_near, p_far)
+    tex_c = texture.shape[0] / 2.0
+    tex_uv = jnp.stack([pts_w[:, 0] * tex_scale + tex_c, pts_w[:, 1] * tex_scale + tex_c], axis=-1)
+    vals, _ = bilinear_sample(jnp.asarray(texture), tex_uv)
+    img = vals.reshape(H, W)
+    for _ in range(max(s.bit_length() - 1, 0)):
+        img = pyr_down(img)
+    return img
