@@ -1,0 +1,3 @@
+from sdvo_tpu.parallel.mesh import make_vo_mesh  # noqa: F401
+from sdvo_tpu.parallel.batched_vo import batched_align_step  # noqa: F401
+from sdvo_tpu.parallel.dist_ba import distributed_local_ba, shard_observations  # noqa: F401

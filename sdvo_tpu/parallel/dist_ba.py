@@ -1,0 +1,224 @@
+"""Distributed bundle adjustment: landmark blocks sharded over the mesh.
+
+BASELINE config 5: shard the landmark set (and each landmark's observations,
+which stay with their landmark) across the ``shard`` mesh axis. Each device
+computes its partial camera Hessian blocks, reduced-system fill-in, and
+right-hand side from its own landmarks; one ``psum`` over the ``shard`` axis
+assembles the global reduced camera system (6K×6K, K ≤ ~10); the dense solve
+replicates on every device; point back-substitution is purely local. This is
+the Schur-over-collectives design from SURVEY §2.4/§5 — the only
+communication per LM iteration is the (6K)² psum + a scalar chi².
+
+The per-observation math is shared with the single-chip BA
+(sdvo_tpu.ba.bundle_adjustment — the g2o replacement).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from sdvo_tpu.ba.bundle_adjustment import (
+    BAObservations,
+    BASettings,
+    _huber_w,
+    _inv3x3,
+    _jacobians,
+    _project_residual,
+    build_point_table,
+)
+from sdvo_tpu.geometry import se3
+from sdvo_tpu.geometry.se3 import SE3
+
+
+def shard_observations(
+    cam_idx: np.ndarray, pt_idx: np.ndarray, uv: np.ndarray, valid: np.ndarray,
+    num_points: int, num_shards: int, max_obs_per_point: int,
+):
+    """Host-side: partition points (and their observations) into equal-size
+    shards, padding each shard to the max sizes. Returns per-shard stacked
+    arrays with leading axis ``num_shards`` plus the point permutation.
+    """
+    order = np.argsort(pt_idx, kind="stable")
+    pts_of_shard = [[] for _ in range(num_shards)]
+    live_pts = np.unique(pt_idx[valid])
+    for i, p in enumerate(live_pts):
+        pts_of_shard[i % num_shards].append(p)
+    P_s = max(max(len(x) for x in pts_of_shard), 1)
+    M_s = P_s * max_obs_per_point
+
+    S = num_shards
+    s_cam = np.zeros((S, M_s), np.int32)
+    s_new_pt = np.zeros((S, M_s), np.int32)
+    s_uv = np.zeros((S, M_s, 2), np.float64)
+    s_valid = np.zeros((S, M_s), bool)
+    s_table = -np.ones((S, P_s, max_obs_per_point), np.int32)
+    s_points = np.zeros((S, P_s), np.int64)  # original point ids, -1 pad
+    s_points[:] = -1
+
+    for s in range(S):
+        m = 0
+        for local_p, p in enumerate(pts_of_shard[s]):
+            s_points[s, local_p] = p
+            rows = np.nonzero(valid & (pt_idx == p))[0][:max_obs_per_point]
+            for k, r in enumerate(rows):
+                s_cam[s, m] = cam_idx[r]
+                s_new_pt[s, m] = local_p
+                s_uv[s, m] = uv[r]
+                s_valid[s, m] = True
+                s_table[s, local_p, k] = m
+                m += 1
+    return s_cam, s_new_pt, s_uv, s_valid, s_table, s_points
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "num_cams", "iterations"),
+)
+def distributed_local_ba(
+    poses: SE3,  # (K,) replicated
+    points: jax.Array,  # (S, P_s, 3) sharded over 'shard'
+    cam_idx: jax.Array,  # (S, M_s)
+    pt_idx: jax.Array,  # (S, M_s) local (within-shard) point index
+    uv: jax.Array,  # (S, M_s, 2)
+    valid: jax.Array,  # (S, M_s)
+    table: jax.Array,  # (S, P_s, Mmax)
+    fixed_cam: jax.Array,  # (K,)
+    fx, fy, cx, cy,
+    mesh: Mesh,
+    num_cams: int,
+    iterations: int = 8,
+    huber_delta: float = 2.0,
+    init_lambda: float = 1e-4,
+):
+    """Schur-complement LM with landmark shards reduced over the mesh.
+
+    Returns (poses', points' (S, P_s, 3), total_chi2).
+    """
+    K = num_cams
+    dtype = points.dtype
+    fxj, fyj, cxj, cyj = (jnp.asarray(v, dtype) for v in (fx, fy, cx, cy))
+
+    def shard_fn(poses_R, poses_t, pts, ci, pi, uvs, ok, tbl):
+        # shard_map keeps the (now size-1) leading shard axis — drop it
+        pts, ci, pi, uvs, ok, tbl = (x[0] for x in (pts, ci, pi, uvs, ok, tbl))
+        P_s = pts.shape[0]
+
+        def residuals(R_all, t_all, pts_):
+            T = SE3(R_all[ci], t_all[ci])
+            r, z, p_cam = _project_residual(T, pts_[pi], uvs, fxj, fyj, cxj, cyj)
+            live = ok & (z > 1e-6)
+            return jnp.where(live[:, None], r, 0.0), live, p_cam, T
+
+        def chi2_of(r, w, live):
+            local = jnp.sum(jnp.where(live, w * jnp.sum(r * r, axis=-1), 0.0))
+            return jax.lax.psum(local, axis_name="shard")
+
+        def step(carry, _):
+            R_all, t_all, pts_, lam, chi = carry
+            r, live, p_cam, T = residuals(R_all, t_all, pts_)
+            w = _huber_w(r, huber_delta) * live.astype(dtype)
+            Jc, Jp = _jacobians(T, p_cam, fxj, fyj)
+            free = (~fixed_cam)[ci].astype(dtype) * live.astype(dtype)
+            Jc = Jc * free[:, None, None]
+            Jp = Jp * live.astype(dtype)[:, None, None]
+            JcW = Jc * w[:, None, None]
+            JpW = Jp * w[:, None, None]
+            Hcc_obs = jnp.einsum("mri,mrj->mij", JcW, Jc)
+            Hpp_obs = jnp.einsum("mri,mrj->mij", JpW, Jp)
+            Wcp_obs = jnp.einsum("mri,mrj->mij", JcW, Jp)
+            gc_obs = jnp.einsum("mri,mr->mi", JcW, r)
+            gp_obs = jnp.einsum("mri,mr->mi", JpW, r)
+
+            Hcc = jax.ops.segment_sum(Hcc_obs, ci, num_segments=K)
+            gc = jax.ops.segment_sum(gc_obs, ci, num_segments=K)
+            Hpp = jax.ops.segment_sum(Hpp_obs, pi, num_segments=P_s)
+            gp = jax.ops.segment_sum(gp_obs, pi, num_segments=P_s)
+            Hpp_inv = _inv3x3(Hpp + lam * jnp.eye(3, dtype=dtype))
+
+            Mmax = tbl.shape[1]
+            t_ok = tbl >= 0
+            t_idx = jnp.maximum(tbl, 0)
+            Wp = Wcp_obs[t_idx] * t_ok[..., None, None]
+            cam_of = jnp.where(t_ok, ci[t_idx], 0)
+            Y = jnp.einsum("pmij,pjk->pmik", Wp, Hpp_inv)
+            F = jnp.einsum("paik,pbjk->pabij", Y, Wp)
+            pair_idx = cam_of[:, :, None] * K + cam_of[:, None, :]
+            pair_ok = t_ok[:, :, None] & t_ok[:, None, :]
+            F = F * pair_ok[..., None, None]
+            S_fill = jax.ops.segment_sum(
+                F.reshape(-1, 6, 6), pair_idx.reshape(-1), num_segments=K * K
+            ).reshape(K, K, 6, 6)
+            rhs_fill = jnp.einsum("pmik,pk->pmi", Y, gp) * t_ok[..., None]
+            g_fill = jax.ops.segment_sum(rhs_fill.reshape(-1, 6), cam_of.reshape(-1), num_segments=K)
+
+            # ---- the one collective: reduce the camera system over shards ----
+            Hcc = jax.lax.psum(Hcc, axis_name="shard")
+            gc = jax.lax.psum(gc, axis_name="shard")
+            S_fill = jax.lax.psum(S_fill, axis_name="shard")
+            g_fill = jax.lax.psum(g_fill, axis_name="shard")
+
+            Smat = jnp.zeros((K, K, 6, 6), dtype)
+            Smat = Smat.at[jnp.arange(K), jnp.arange(K)].set(Hcc + lam * jnp.eye(6, dtype=dtype))
+            Smat = Smat - S_fill
+            g_red = gc - g_fill
+            freec = (~fixed_cam).astype(dtype)
+            Smat = Smat * freec[:, None, None, None] * freec[None, :, None, None]
+            Smat = Smat.at[jnp.arange(K), jnp.arange(K)].add(
+                (1.0 - freec)[:, None, None] * jnp.eye(6, dtype=dtype)
+            )
+            g_red = g_red * freec[:, None]
+            Sd = Smat.transpose(0, 2, 1, 3).reshape(6 * K, 6 * K)
+            L = jnp.linalg.cholesky(Sd + 1e-10 * jnp.eye(6 * K, dtype=dtype))
+            okc = jnp.all(jnp.isfinite(L))
+            L = jnp.where(okc, L, jnp.eye(6 * K, dtype=dtype))
+            dc = jax.scipy.linalg.cho_solve((L, True), g_red.reshape(-1)).reshape(K, 6)
+            dc = jnp.where(okc, dc, 0.0)
+
+            WTdc = jnp.sum(jnp.einsum("pmij,pmi->pmj", Wp, dc[cam_of] * t_ok[..., None]), axis=1)
+            dp = jnp.einsum("pij,pj->pi", Hpp_inv, gp - WTdc)
+
+            delta = se3.exp(-dc)
+            R_new = delta.rotation @ R_all
+            t_new = jnp.einsum("kij,kj->ki", delta.rotation, t_all) + delta.translation
+            pts_new = pts_ - dp
+
+            r_n, live_n, _, _ = residuals(R_new, t_new, pts_new)
+            w_n = _huber_w(r_n, huber_delta) * live_n.astype(dtype)
+            chi_n = chi2_of(r_n, w_n, live_n)
+            better = chi_n < chi
+            R_out = jnp.where(better, R_new, R_all)
+            t_out = jnp.where(better, t_new, t_all)
+            pts_out = jnp.where(better, pts_new, pts_)
+            lam_out = jnp.where(better, lam * 0.1, lam * 10.0)
+            chi_out = jnp.where(better, chi_n, chi)
+            return (R_out, t_out, pts_out, lam_out, chi_out), None
+
+        r0, live0, _, _ = residuals(poses_R, poses_t, pts)
+        w0 = _huber_w(r0, huber_delta) * live0.astype(dtype)
+        chi0 = chi2_of(r0, w0, live0)
+        (R_f, t_f, pts_f, _, chi_f), _ = jax.lax.scan(
+            step,
+            (poses_R, poses_t, pts, jnp.asarray(init_lambda, dtype), chi0),
+            None,
+            length=iterations,
+        )
+        return R_f, t_f, pts_f[None], chi_f
+
+    shard = P("shard")
+    out = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), shard, shard, shard, shard, shard, shard),
+        out_specs=(P(), P(), shard, P()),
+        check_vma=False,
+    )(
+        poses.rotation, poses.translation, points, cam_idx, pt_idx, uv, valid, table
+    )
+    R_f, t_f, pts_f, chi_f = out
+    return SE3(R_f, t_f), pts_f, chi_f
