@@ -158,6 +158,73 @@ class System:
 
         write_kitti_poses(path, self.trajectory)
 
+    def report_summary(self) -> str:
+        """Keyframe/point/filter tables (``System::reportSummary``,
+        src/system.cpp:513-610)."""
+        lines = ["=== system summary ==="]
+        lines.append(f"status: {self.status.name}, frames: {self.frame_count}")
+        lines.append(
+            f"keyframes: {self.arena.num_keyframes()}, points: {int(self.arena.pt_valid.sum())} "
+            f"(good {int(((self.arena.pt_type == int(PointType.GOOD)) & self.arena.pt_valid).sum())}, "
+            f"candidate {int(((self.arena.pt_type == int(PointType.CANDIDATE)) & self.arena.pt_valid).sum())}), "
+            f"filters: {int(np.asarray(self.filters.valid).sum())}"
+        )
+        lines.append("kf_slot  frame_id  n_features  n_with_points")
+        for s in self.arena.keyframe_slots():
+            nf = int(self.arena.feat_valid[s].sum())
+            nwp = int((self.arena.feat_valid[s] & (self.arena.feat_point[s] >= 0)).sum())
+            lines.append(f"{s:7d} {int(self.arena.kf_frame_id[s]):9d} {nf:11d} {nwp:14d}")
+        return "\n".join(lines)
+
+    # ------------------------------------------------------- checkpointing
+    def save_checkpoint(self, path: str):
+        """Serialize full tracker state (map arena, filter bank, trajectory,
+        FSM status) to a .npz — resume = reload + continue at frame k. The
+        reference has no checkpointing (SURVEY §5); its closest artifact is
+        the debug feature/point text serialization (src/utils.cpp:54-117)."""
+        a = self.arena
+        filt = {f"filt_{k}": np.asarray(v) for k, v in self.filters._asdict().items()}
+        traj = np.stack([np.full((4, 4), np.nan) if T is None else T for T in self.trajectory]) if self.trajectory else np.zeros((0, 4, 4))
+        np.savez_compressed(
+            path,
+            status=self.status.value,
+            frame_count=self.frame_count,
+            prev_rel=self.prev_rel,
+            kf_valid=a.kf_valid, kf_frame_id=a.kf_frame_id, kf_pose=a.kf_pose,
+            kf_counter=a.kf_counter,
+            feat_uv=a.feat_uv, feat_point=a.feat_point, feat_valid=a.feat_valid,
+            pt_pos=a.pt_pos, pt_type=a.pt_type, pt_valid=a.pt_valid,
+            pt_succeeded=a.pt_succeeded, pt_failed=a.pt_failed,
+            trajectory=traj,
+            **filt,
+        )
+
+    def load_checkpoint(self, path: str):
+        """Restore state saved by save_checkpoint. Keyframe PYRAMIDS are not
+        serialized (images are large); tracking resumes after re-seeding the
+        ref frame with the next add_image call in RELOCALIZATION mode."""
+        z = np.load(path)
+        a = self.arena
+        self.status = SystemStatus(int(z["status"]))
+        self.frame_count = int(z["frame_count"])
+        self.prev_rel = z["prev_rel"]
+        a.kf_valid = z["kf_valid"]
+        a.kf_frame_id = z["kf_frame_id"]
+        a.kf_pose = z["kf_pose"]
+        a.kf_counter = int(z["kf_counter"])
+        a.feat_uv = z["feat_uv"]
+        a.feat_point = z["feat_point"]
+        a.feat_valid = z["feat_valid"]
+        a.pt_pos = z["pt_pos"]
+        a.pt_type = z["pt_type"]
+        a.pt_valid = z["pt_valid"]
+        a.pt_succeeded = z["pt_succeeded"]
+        a.pt_failed = z["pt_failed"]
+        traj = z["trajectory"]
+        self.trajectory = [None if np.any(np.isnan(T)) else T for T in traj]
+        filt = {k[5:]: jnp.asarray(z[k]) for k in z.files if k.startswith("filt_")}
+        self.filters = FilterBank(**filt)
+
     # ------------------------------------------------------- state handlers
     def _process_first_frame(self, frame: _FrameRecord) -> FrameResult:
         """Detect features, make the first keyframe (src/system.cpp:78-115)."""
