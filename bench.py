@@ -24,6 +24,10 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 import jax.numpy as jnp
 
 REFERENCE_FPS = 40.0
@@ -36,26 +40,63 @@ N_FILTERS = 512
 DTYPE = jnp.float32
 
 
+def _np_se3_exp(tau):
+    """Numpy se(3) exp — input construction must not touch the accelerator
+    (eager ops over a tunneled TPU cost seconds each)."""
+    from scipy.linalg import expm
+
+    up, om = tau[:3], tau[3:]
+    xi = np.zeros((4, 4))
+    xi[:3, :3] = [[0, -om[2], om[1]], [om[2], 0, -om[0]], [-om[1], om[0], 0]]
+    xi[:3, 3] = up
+    return expm(xi)
+
+
 def build_inputs(rng):
+    """Realistic workload: a rendered textured scene with a true camera motion
+    and an imperfect motion prior, so the LM loops do representative work
+    (random-noise images would let them exit immediately). All construction is
+    numpy; arrays move to device once, with a single transfer each."""
     from sdvo_tpu.align.image_alignment import AlignFeatures
+    from sdvo_tpu.dataio.synthetic import render_plane, smooth_texture
     from sdvo_tpu.geometry.se3 import SE3
 
-    img = jnp.asarray(rng.uniform(0, 255, (H, W)), DTYPE)
-    uv = jnp.asarray(rng.uniform(30, [W - 30, H - 30], (N_FEATS, 2)), DTYPE)
     fx = fy = 721.5377
     cx, cy = 609.5593, 172.854
+    tex = smooth_texture(rng, size=4096, blur=13)
+    plane_z = 15.0
+    tau_true = np.asarray([0.5, 0.05, 0.3, 0.003, 0.01, 0.002])
+
+    from types import SimpleNamespace
+
+    _NpCam = SimpleNamespace(fx=fx, fy=fy, cx=cx, cy=cy, width=W, height=H)
+
+    class _NpPose:
+        def __init__(self, T):
+            self.rotation = T[:3, :3]
+            self.translation = T[:3, 3]
+
+    T_cur44 = _np_se3_exp(tau_true)
+    img_ref = render_plane(tex, _NpCam, _NpPose(np.eye(4)), plane_z, supersample=1)
+    img_cur = render_plane(tex, _NpCam, _NpPose(T_cur44), plane_z, supersample=1)
+
+    uv = rng.uniform(30, [W - 30, H - 30], (N_FEATS, 2))
     x = (uv[:, 0] - cx) / fx
     y = (uv[:, 1] - cy) / fy
-    depth = jnp.asarray(rng.uniform(5, 40, (N_FEATS,)), DTYPE)
-    pts = jnp.stack([x * depth, y * depth, depth], axis=-1)
+    b = np.stack([x, y, np.ones_like(x)], axis=-1)
+    b /= np.linalg.norm(b, axis=-1, keepdims=True)
+    pts = b * (plane_z / b[:, 2:3])
     feats = AlignFeatures(
-        uv_host=uv,
-        host_idx=jnp.asarray(rng.integers(0, 2, N_FEATS), jnp.int32),
-        points_ref=pts,
+        uv_host=jnp.asarray(uv, DTYPE),
+        host_idx=jnp.zeros((N_FEATS,), jnp.int32),
+        points_ref=jnp.asarray(pts, DTYPE),
         valid=jnp.ones((N_FEATS,), bool),
     )
-    T0 = SE3.identity(dtype=DTYPE)
-    return img, feats, T0, (fx, fy, cx, cy)
+    T044 = _np_se3_exp(tau_true * 0.7)  # imperfect constant-velocity prior
+    T0 = SE3(jnp.asarray(T044[:3, :3], DTYPE), jnp.asarray(T044[:3, 3], DTYPE))
+    img_ref = jnp.asarray(img_ref, DTYPE)
+    img_cur = jnp.asarray(img_cur, DTYPE)
+    return img_ref, img_cur, feats, T0, (fx, fy, cx, cy)
 
 
 def main():
@@ -66,13 +107,11 @@ def main():
     from sdvo_tpu.image.pyramid import build_pyramid
 
     rng = np.random.default_rng(0)
-    img, feats, T0, (fx, fy, cx, cy) = build_inputs(rng)
+    img_ref, img_cur, feats, T0, (fx, fy, cx, cy) = build_inputs(rng)
     aligner = SparseImageAlign(patch_size=5, min_level=0, max_level=3)
 
-    pyramid_fn = jax.jit(lambda im: build_pyramid(im, LEVELS))
-    featalign_fn = jax.jit(
-        lambda rg, cg, ur, ui, v, hi: align_features_2d(rg, cg, ur, ui, v, 5, 10, hi)
-    )
+    ref_pyr = jax.jit(lambda im: build_pyramid(im, LEVELS))(img_ref)
+    ref_pyr = jax.block_until_ready(ref_pyr)
     filters = FilterBank.empty(N_FILTERS, 49, DTYPE)
     filters = filters._replace(
         uv_ref=jnp.asarray(rng.uniform(30, [W - 30, H - 30], (N_FILTERS, 2)), DTYPE),
@@ -99,33 +138,51 @@ def main():
         lambda bank, T, im: update_filters(bank, T, im, fx, fy, cx, cy, jnp.asarray(1))
     )
 
-    kf_grad_stub = None
-
-    def frame_step(image):
-        pyr = pyramid_fn(image)
-        host_pyr = [jnp.stack([lvl, lvl]) for lvl in pyr.images]
-        T_est, rmse, status = aligner.align(
-            T0, host_pyr, pyr.images, feats, fx, fy, cx, cy
+    # ONE fused jitted program for the whole per-frame device step — a single
+    # launch amortizes dispatch latency and is the right shape for local
+    # hardware too (no host syncs). All state is passed as ARGUMENTS:
+    # closure-captured device constants get re-materialized per call on some
+    # runtimes and are catastrophically slow.
+    @jax.jit
+    def frame_step(image, ref_images, T0_, feats_, filters_, T_rel_):
+        pyr = build_pyramid(image, LEVELS)
+        host_pyr = tuple(r[None] for r in ref_images)
+        T_est, rmse, status = aligner._align_impl(
+            T0_, host_pyr, tuple(pyr.images), feats_,
+            jnp.asarray(fx, DTYPE), jnp.asarray(fy, DTYPE),
+            jnp.asarray(cx, DTYPE), jnp.asarray(cy, DTYPE),
         )
-        uv_m = feats.uv_host[:N_MATCHES]
-        uv_out, err, conv = featalign_fn(
+        uv_m = feats_.uv_host[:N_MATCHES]
+        uv_out, err, conv = align_features_2d(
             pyr.base_gradient, pyr.base_gradient, uv_m, uv_m,
-            jnp.ones((N_MATCHES,), bool), jnp.zeros((N_MATCHES,), jnp.int32),
+            jnp.ones((N_MATCHES,), bool), 5, 10,
+            jnp.zeros((N_MATCHES,), jnp.int32),
         )
-        bank, conv2 = filters_update_fn(filters, T_rel, pyr.base_image)
-        return T_est, uv_out, bank.mu
+        bank, conv2 = update_filters(
+            filters_, T_rel_, pyr.base_image, fx, fy, cx, cy, jnp.asarray(1)
+        )
+        return T_est, rmse, uv_out, bank.mu
 
+    args = (img_cur, tuple(ref_pyr.images), T0, feats, filters, T_rel)
     # warmup / compile
-    out = frame_step(img)
+    out = frame_step(*args)
     jax.block_until_ready(out)
+    # sanity: alignment must actually converge on the rendered pair
+    import numpy as _np
+    assert float(out[1]) < 30.0, f"alignment rmse {float(out[1])} — bench workload broken"
 
-    n_iter = 50
-    t0 = time.perf_counter()
+    # synchronous per-call timing: VO is sequential (each frame's pose seeds
+    # the next), so end-to-end call latency is the honest throughput metric —
+    # and deep async dispatch queues distort timing on tunneled devices.
+    n_iter = 200
+    times = []
     for _ in range(n_iter):
-        out = frame_step(img)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    fps = n_iter / dt
+        t0 = time.perf_counter()
+        out = frame_step(*args)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    fps = 1.0 / dt
 
     print(
         json.dumps(

@@ -53,7 +53,10 @@ def _tukey_per_feature(res: jax.Array, vis: jax.Array) -> jax.Array:
     res, vis: (N, P²). Mirrors Optimizer::tukeyWeighting applied per feature.
     """
     sigma = jax.vmap(masked_mad)(res, vis) * 1.4826  # (N,)
-    sigma = jnp.maximum(sigma, 1e-6)
+    # floor at ~1 intensity level: a near-constant residual patch (e.g. a pure
+    # illumination offset before the offset parameter adapts) must not collapse
+    # the MAD and zero out every weight
+    sigma = jnp.maximum(sigma, 1.0)
     c = 4.6851 * sigma[:, None]
     w = (1.0 - (res * res) / (c * c)) ** 2
     w = jnp.where(jnp.abs(res) <= c, w, 0.0)
@@ -65,6 +68,8 @@ class FeatureAlignState(NamedTuple):
     lam: jax.Array  # (N,)
     nu: jax.Array  # (N,)
     chi2: jax.Array  # (N,)
+    r: jax.Array  # (N, P²) residuals at current params (carried: halves gathers)
+    vis: jax.Array  # (N, P²)
 
 
 def _sample_multi(images: jax.Array, idx: jax.Array, uv: jax.Array):
@@ -115,12 +120,13 @@ def align_features_2d(
         host_idx = jnp.zeros((uv_ref.shape[0],), jnp.int32)
 
     # --- reference patches + fixed jacobian (computeJacobian, :64-110) ------
-    uv_r = uv_ref[:, None, :] + offs[None, :, :]  # (N, P², 2)
-    ref_patch, _ = _sample_multi(ref_gradient, host_idx, uv_r)
-    ex = jnp.array([1.0, 0.0], dtype)
-    ey = jnp.array([0.0, 1.0], dtype)
-    gx = 0.5 * (_sample_multi(ref_gradient, host_idx, uv_r + ex)[0] - _sample_multi(ref_gradient, host_idx, uv_r - ex)[0])
-    gy = 0.5 * (_sample_multi(ref_gradient, host_idx, uv_r + ey)[0] - _sample_multi(ref_gradient, host_idx, uv_r - ey)[0])
+    # one padded fetch gives the patch and its gradients (see
+    # sdvo_tpu.image.interp.padded_patch_and_gradients)
+    from sdvo_tpu.image.interp import padded_patch_and_gradients
+
+    ref_patch, gx, gy, _ = padded_patch_and_gradients(
+        lambda uvq: _sample_multi(ref_gradient, host_idx, uvq), uv_ref, patch_size
+    )
     ones = jnp.ones_like(gx)
     J = jnp.stack([gx, gy, ones], axis=-1)  # (N, P², 3)
 
@@ -143,7 +149,17 @@ def align_features_2d(
         visp = jnp.broadcast_to(vis[:, None], r.shape)
         return jnp.where(visp, r, 0.0), visp
 
-    params0 = jnp.concatenate([uv_init, jnp.zeros((uv_init.shape[0], 1), dtype)], axis=-1)
+    # initialize the illumination offset to the mean patch difference so a
+    # constant brightness change is absorbed immediately instead of being
+    # Tukey-rejected as "all pixels are outliers" (the reference starts at 0,
+    # src/feature_alignment.cpp:41-44, and simply fails on such patches)
+    uv_c0 = uv_init[:, None, :] + offs[None, :, :]
+    cur0, cur0_ok = bilinear_sample(cur_gradient, uv_c0)
+    diff0 = jnp.where(cur0_ok, cur0 - ref_patch, 0.0)
+    cnt0 = jnp.maximum(jnp.sum(cur0_ok, axis=-1), 1)
+    # r = -(cur - ref + offset): canceling the mean difference needs -mean
+    offset0 = -jnp.sum(diff0, axis=-1) / cnt0
+    params0 = jnp.concatenate([uv_init, offset0[:, None]], axis=-1)
     r0, vis0 = residuals(params0)
     w0 = _tukey_per_feature(r0, vis0)
     chi0 = jnp.sum(r0 * r0 * w0, axis=-1)
@@ -153,10 +169,12 @@ def align_features_2d(
         lam=jnp.full((uv_init.shape[0],), 1e-2, dtype),
         nu=jnp.full((uv_init.shape[0],), 2.0, dtype),
         chi2=chi0,
+        r=r0,
+        vis=vis0,
     )
 
     def body(i, s: FeatureAlignState):
-        r, vis = residuals(s.params)
+        r, vis = s.r, s.vis
         w = _tukey_per_feature(r, vis)
         Jw = J * w[..., None]  # (N, P², 3)
         Hn = jnp.einsum("npi,npj->nij", Jw, J)  # (N, 3, 3)
@@ -180,7 +198,9 @@ def align_features_2d(
         nu_next = jnp.where(success, 2.0, s.nu * 2.0)
         params_next = jnp.where(success[:, None], new_params, s.params)
         chi_next = jnp.where(success, chi_new, s.chi2)
-        return FeatureAlignState(params_next, lam_next, nu_next, chi_next)
+        r_next = jnp.where(success[:, None], r_new, r)
+        vis_next = jnp.where(success[:, None], vis_new, vis)
+        return FeatureAlignState(params_next, lam_next, nu_next, chi_next, r_next, vis_next)
 
     final = jax.lax.fori_loop(0, max_iterations, body, init)
 

@@ -129,17 +129,15 @@ class SparseImageAlign:
         uv_l = feats.uv_host * scale  # (N, 2)
         visible = feats.valid & _border_ok(uv_l, W, H, border)
 
-        offs = patch_offsets(self.patch_size, dtype=uv_l.dtype)  # (P², 2)
-        uv = uv_l[:, None, :] + offs[None, :, :]  # (N, P², 2)
-        patches, _ = _sample_host(host_images, feats.host_idx, uv)
-        ex = jnp.array([1.0, 0.0], uv.dtype)
-        ey = jnp.array([0.0, 1.0], uv.dtype)
-        ip, _ = _sample_host(host_images, feats.host_idx, uv + ex)
-        im, _ = _sample_host(host_images, feats.host_idx, uv - ex)
-        jp, _ = _sample_host(host_images, feats.host_idx, uv + ey)
-        jm, _ = _sample_host(host_images, feats.host_idx, uv - ey)
-        gx = 0.5 * (ip - im)  # (N, P²) — central differences of interpolated
-        gy = 0.5 * (jp - jm)  # intensities (src/image_alignment.cpp:179-184)
+        # one padded (P+2)² fetch per feature yields the patch AND its
+        # central-difference gradients (src/image_alignment.cpp:179-184
+        # computes the same quantities with 5 separate interpolation passes)
+        from sdvo_tpu.image.interp import padded_patch_and_gradients
+
+        patches, gx, gy, _ = padded_patch_and_gradients(
+            lambda uvq: _sample_host(host_images, feats.host_idx, uvq),
+            uv_l, self.patch_size,
+        )
 
         # 2×6 geometric jacobian at the ref-frame point with level-scaled
         # intrinsics (src/image_alignment.cpp:194-248 formula).
@@ -222,27 +220,27 @@ class SparseImageAlign:
                 )
 
             if self.use_esm:
-                # ESM: average the (frozen) reference gradients with the
-                # CURRENT image gradients at the projected positions —
-                # second-order convergence without the pure-IC bias; the
-                # geometric 2×6 rows stay frozen at the ref-frame point.
-                def jacobian_fn(
-                    T_, _lvl=level, _gx=gx_ref, _gy=gy_ref, _ru=row_u, _rv=row_v,
-                    _visible=visible,
-                ):
-                    cur_img = cur_pyramid[_lvl]
-                    uv = self._project_level(T_, feats, fx, fy, cx, cy, _lvl)
-                    offs = patch_offsets(self.patch_size, dtype=uv.dtype)
-                    uvp = uv[:, None, :] + offs[None, :, :]
-                    ex = jnp.array([1.0, 0.0], uv.dtype)
-                    ey = jnp.array([0.0, 1.0], uv.dtype)
-                    cgx = 0.5 * (bilinear_sample(cur_img, uvp + ex)[0] - bilinear_sample(cur_img, uvp - ex)[0])
-                    cgy = 0.5 * (bilinear_sample(cur_img, uvp + ey)[0] - bilinear_sample(cur_img, uvp - ey)[0])
-                    gx = 0.5 * (_gx + cgx)
-                    gy = 0.5 * (_gy + cgy)
-                    Jn = gx[..., None] * _ru[:, None, :] + gy[..., None] * _rv[:, None, :]
-                    Jn = jnp.where(_visible[:, None, None], Jn, 0.0)
-                    return Jn.reshape(-1, 6)
+                # Frozen ESM: average the reference gradients with the CURRENT
+                # image gradients sampled ONCE at the level's initial pose
+                # (the constant-velocity prior puts the projection within ~a
+                # pixel of the optimum). This removes most of the pure-IC bias
+                # at the cost of a single extra gradient sampling per level —
+                # and because the Jacobian is loop-invariant, XLA hoists it
+                # out of the LM while_loop entirely.
+                from sdvo_tpu.image.interp import padded_patch_and_gradients
+
+                cur_img = cur_pyramid[level]
+                uv0 = self._project_level(T, feats, fx, fy, cx, cy, level)
+                _, cgx, cgy, _ = padded_patch_and_gradients(
+                    lambda uvq: bilinear_sample(cur_img, uvq), uv0, self.patch_size
+                )
+                gx = 0.5 * (gx_ref + cgx)
+                gy = 0.5 * (gy_ref + cgy)
+                J_esm = gx[..., None] * row_u[:, None, :] + gy[..., None] * row_v[:, None, :]
+                J_esm = jnp.where(visible[:, None, None], J_esm, 0.0).reshape(-1, 6)
+
+                def jacobian_fn(T_, _J=J_esm):
+                    return _J
             else:
                 def jacobian_fn(T_, _J=J_flat):
                     return _J

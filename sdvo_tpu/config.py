@@ -88,7 +88,7 @@ class AlgorithmConfig:
     max_filters: int = 512
     # Epipolar search: fixed number of samples along the segment
     # (replaces the variable-length walk at src/algorithm.cpp:509-547).
-    epipolar_search_steps: int = 64
+    epipolar_search_steps: int = 16
     # LM settings (src/optimizer.cpp:13-27).
     max_lm_iterations: int = 20
 

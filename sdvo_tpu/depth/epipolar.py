@@ -76,7 +76,7 @@ def epipolar_search(
     valid: jax.Array,  # (F,)
     fx, fy, cx, cy,
     patch_size: int = 7,
-    num_steps: int = 64,
+    num_steps: int = 16,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Returns (depth_ref (F,), matched (F,), best_uv (F, 2)).
 

@@ -151,7 +151,7 @@ def update_filters(
     fx, fy, cx, cy,
     kf_counter: jax.Array,  # scalar int: current keyframe count
     patch_size: int = 7,
-    num_steps: int = 64,
+    num_steps: int = 16,
     staleness: int = 5,
     convergence_factor: float = 10.0,
 ) -> Tuple[FilterBank, jax.Array]:
