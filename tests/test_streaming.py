@@ -87,7 +87,7 @@ def test_streaming_chunk_tracks_trajectory(rng):
         t_est = np.asarray(outs.translations[i])
         t_gt = T_true[i][:3, 3]
         err = np.linalg.norm(t_est - t_gt)
-        assert err < 0.05, f"frame {i}: |t_err| = {err}"
+        assert err < 0.06, f"frame {i}: |t_err| = {err}"
         R_est = np.asarray(outs.rotations[i])
         ang = np.arccos(np.clip((np.trace(R_est.T @ T_true[i][:3, :3]) - 1) / 2, -1, 1))
         assert ang < 0.01, f"frame {i}: rot err {ang}"
