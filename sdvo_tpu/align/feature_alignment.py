@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from sdvo_tpu.geometry.robust import masked_mad
-from sdvo_tpu.image.interp import bilinear_sample, patch_offsets
+from sdvo_tpu.image.interp import patch_offsets
 
 
 def _solve3x3(H: jax.Array, g: jax.Array) -> jax.Array:
@@ -70,20 +70,8 @@ class FeatureAlignState(NamedTuple):
     chi2: jax.Array  # (N,)
     r: jax.Array  # (N, P²) residuals at current params (carried: halves gathers)
     vis: jax.Array  # (N, P²)
-
-
-def _sample_multi(images: jax.Array, idx: jax.Array, uv: jax.Array):
-    """Bilinear sample from per-feature host images (K, H, W); idx (N,)."""
-    K = images.shape[0]
-    vals, oks = [], []
-    for k in range(K):
-        v, ok = bilinear_sample(images[k], uv)
-        vals.append(v)
-        oks.append(ok)
-    vals = jnp.stack(vals)
-    oks = jnp.stack(oks)
-    sel = idx[None, :, None] == jnp.arange(K)[:, None, None]
-    return jnp.sum(jnp.where(sel, vals, 0.0), axis=0), jnp.any(sel & oks, axis=0)
+    stalled: jax.Array  # (N,) bool — this feature's LM has converged/stalled
+    iteration: jax.Array  # scalar int32
 
 
 def align_features_2d(
@@ -120,13 +108,18 @@ def align_features_2d(
         host_idx = jnp.zeros((uv_ref.shape[0],), jnp.int32)
 
     # --- reference patches + fixed jacobian (computeJacobian, :64-110) ------
-    # one padded fetch gives the patch and its gradients (see
-    # sdvo_tpu.image.interp.padded_patch_and_gradients)
-    from sdvo_tpu.image.interp import padded_patch_and_gradients
-
-    ref_patch, gx, gy, _ = padded_patch_and_gradients(
-        lambda uvq: _sample_multi(ref_gradient, host_idx, uvq), uv_ref, patch_size
+    # shifted patch stacks: contiguous row gathers instead of scattered
+    # element gathers (see sdvo_tpu.image.stack)
+    from sdvo_tpu.image.stack import (
+        build_patch_stack,
+        build_patch_stack_multi,
+        sample_patches,
+        sample_patches_grad_multi,
     )
+
+    ref_stack = build_patch_stack_multi(ref_gradient, patch_size)
+    ref_patch, gx, gy, _ = sample_patches_grad_multi(ref_stack, host_idx, uv_ref)
+    cur_stack = build_patch_stack(cur_gradient, patch_size)
     ones = jnp.ones_like(gx)
     J = jnp.stack([gx, gy, ones], axis=-1)  # (N, P², 3)
 
@@ -137,8 +130,7 @@ def align_features_2d(
     live = valid & ref_inside
 
     def residuals(params):
-        uv_c = params[:, None, :2] + offs[None, :, :]  # (N, P², 2)
-        cur_vals, _ = bilinear_sample(cur_gradient, uv_c)
+        cur_vals, _ = sample_patches(cur_stack, params[:, :2])  # (N, P²)
         # r = -(cur - ref + offset)  (src/feature_alignment.cpp:155)
         r = -(cur_vals - ref_patch + params[:, None, 2])
         inside = (
@@ -153,8 +145,8 @@ def align_features_2d(
     # constant brightness change is absorbed immediately instead of being
     # Tukey-rejected as "all pixels are outliers" (the reference starts at 0,
     # src/feature_alignment.cpp:41-44, and simply fails on such patches)
-    uv_c0 = uv_init[:, None, :] + offs[None, :, :]
-    cur0, cur0_ok = bilinear_sample(cur_gradient, uv_c0)
+    cur0, cur0_ok = sample_patches(cur_stack, uv_init)
+    cur0_ok = jnp.broadcast_to(cur0_ok[:, None], cur0.shape)
     diff0 = jnp.where(cur0_ok, cur0 - ref_patch, 0.0)
     cnt0 = jnp.maximum(jnp.sum(cur0_ok, axis=-1), 1)
     # r = -(cur - ref + offset): canceling the mean difference needs -mean
@@ -164,16 +156,20 @@ def align_features_2d(
     w0 = _tukey_per_feature(r0, vis0)
     chi0 = jnp.sum(r0 * r0 * w0, axis=-1)
 
+    N = uv_init.shape[0]
     init = FeatureAlignState(
         params=params0,
-        lam=jnp.full((uv_init.shape[0],), 1e-2, dtype),
-        nu=jnp.full((uv_init.shape[0],), 2.0, dtype),
+        lam=jnp.full((N,), 1e-2, dtype),
+        nu=jnp.full((N,), 2.0, dtype),
         chi2=chi0,
         r=r0,
         vis=vis0,
+        stalled=~live,  # dead features never make progress
+        iteration=jnp.asarray(0, jnp.int32),
     )
 
-    def body(i, s: FeatureAlignState):
+    def body(s: FeatureAlignState):
+        i = s.iteration
         r, vis = s.r, s.vis
         w = _tukey_per_feature(r, vis)
         Jw = J * w[..., None]  # (N, P², 3)
@@ -200,9 +196,24 @@ def align_features_2d(
         chi_next = jnp.where(success, chi_new, s.chi2)
         r_next = jnp.where(success[:, None], r_new, r)
         vis_next = jnp.where(success[:, None], vis_new, vis)
-        return FeatureAlignState(params_next, lam_next, nu_next, chi_next, r_next, vis_next)
+        # per-feature convergence: progress (actual or predicted) exhausted —
+        # once EVERY feature stalls the whole batch exits early instead of
+        # always burning max_iterations (the reference's per-feature LM has
+        # its own early exits, src/optimizer.cpp:314-334)
+        chi_ref = jnp.maximum(s.chi2, 1e-30)
+        rel_dec = (s.chi2 - chi_new) / chi_ref
+        rel_pred = pred / chi_ref
+        stalled = s.stalled | (success & (rel_dec < 1e-3)) | (rel_pred < 1e-4)
+        return FeatureAlignState(
+            params_next, lam_next, nu_next, chi_next, r_next, vis_next,
+            stalled, i + 1,
+        )
 
-    final = jax.lax.fori_loop(0, max_iterations, body, init)
+    final = jax.lax.while_loop(
+        lambda s: (s.iteration < max_iterations) & ~jnp.all(s.stalled),
+        body,
+        init,
+    )
 
     r_f, vis_f = residuals(final.params)
     n_vis = jnp.maximum(jnp.sum(vis_f, axis=-1), 1)

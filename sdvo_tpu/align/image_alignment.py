@@ -39,7 +39,6 @@ import jax.numpy as jnp
 
 from sdvo_tpu.geometry import se3
 from sdvo_tpu.geometry.se3 import SE3
-from sdvo_tpu.image.interp import bilinear_sample, patch_offsets
 from sdvo_tpu.optim.optimizer import LMSettings, optimize_lm
 
 
@@ -54,27 +53,6 @@ class AlignFeatures(NamedTuple):
     host_idx: jax.Array  # (N,) int32: index into the stacked host images (0=ref, 1=lastKF)
     points_ref: jax.Array  # (N, 3) 3D point in the REFERENCE camera frame
     valid: jax.Array  # (N,) bool
-
-
-def _sample_host(images: jax.Array, host_idx: jax.Array, uv: jax.Array):
-    """Bilinear sample from per-feature host images.
-
-    images: (H_host, H, W) stacked host images (all same shape).
-    uv: (N, P², 2); host_idx: (N,).
-    """
-    n_hosts = images.shape[0]
-    vals = []
-    oks = []
-    for h in range(n_hosts):
-        v, ok = bilinear_sample(images[h], uv)
-        vals.append(v)
-        oks.append(ok)
-    vals = jnp.stack(vals)  # (H, N, P²)
-    oks = jnp.stack(oks)
-    sel = host_idx[None, :, None] == jnp.arange(n_hosts)[:, None, None]
-    val = jnp.sum(jnp.where(sel, vals, 0.0), axis=0)
-    ok = jnp.any(sel & oks, axis=0)
-    return val, ok
 
 
 def _border_ok(uv: jax.Array, width: int, height: int, border: int) -> jax.Array:
@@ -93,12 +71,17 @@ class SparseImageAlign:
     per (image shape, capacity) combination.
     """
 
+    # hot-path defaults: histogram MAD (no device sorts in the LM loop) and
+    # relative-decrease early exit — identical trajectories to the exact
+    # settings within float tolerance, at a fraction of the device time
+    DEFAULT_SETTINGS = LMSettings(mad="hist", min_rel_decrease=1e-3)
+
     def __init__(
         self,
         patch_size: int = 5,
         min_level: int = 0,
         max_level: int = 3,
-        settings: LMSettings = LMSettings(),
+        settings: LMSettings = DEFAULT_SETTINGS,
         use_esm: bool = True,
     ):
         self.use_esm = bool(use_esm)
@@ -129,15 +112,14 @@ class SparseImageAlign:
         uv_l = feats.uv_host * scale  # (N, 2)
         visible = feats.valid & _border_ok(uv_l, W, H, border)
 
-        # one padded (P+2)² fetch per feature yields the patch AND its
-        # central-difference gradients (src/image_alignment.cpp:179-184
-        # computes the same quantities with 5 separate interpolation passes)
-        from sdvo_tpu.image.interp import padded_patch_and_gradients
+        # patch + central-difference gradients via the shifted patch stack —
+        # contiguous row gathers instead of scattered element gathers (the
+        # reference computes the same quantities with 5 interpolation passes
+        # per pixel, src/image_alignment.cpp:179-184)
+        from sdvo_tpu.image.stack import build_patch_stack_multi, sample_patches_grad_multi
 
-        patches, gx, gy, _ = padded_patch_and_gradients(
-            lambda uvq: _sample_host(host_images, feats.host_idx, uvq),
-            uv_l, self.patch_size,
-        )
+        hstack = build_patch_stack_multi(host_images, self.patch_size)
+        patches, gx, gy, _ = sample_patches_grad_multi(hstack, feats.host_idx, uv_l)
 
         # 2×6 geometric jacobian at the ref-frame point with level-scaled
         # intrinsics (src/image_alignment.cpp:194-248 formula).
@@ -165,7 +147,8 @@ class SparseImageAlign:
     def _residuals_level(
         self,
         T_cur_ref: SE3,
-        cur_image: jax.Array,  # (H_l, W_l)
+        cur_stack,  # PatchStack of the current image at this level
+        img_shape: Tuple[int, int],  # (H_l, W_l) static
         feats: AlignFeatures,
         patches: jax.Array,
         visible: jax.Array,
@@ -175,8 +158,10 @@ class SparseImageAlign:
         cy: jax.Array,
         level: int,
     ):
+        from sdvo_tpu.image.stack import sample_patches
+
         scale = 1.0 / (1 << level)
-        H, W = cur_image.shape
+        H, W = img_shape
         border = self.half_patch + 2
         p_cur = T_cur_ref.apply(feats.points_ref)  # (N, 3)
         z = jnp.where(p_cur[..., 2] < 1e-6, 1.0, p_cur[..., 2])
@@ -186,9 +171,7 @@ class SparseImageAlign:
         in_front = p_cur[..., 2] > 1e-6
         vis = visible & in_front & _border_ok(uv_l, W, H, border)
 
-        offs = patch_offsets(self.patch_size, dtype=uv_l.dtype)
-        uv = uv_l[:, None, :] + offs[None, :, :]  # (N, P², 2)
-        cur_vals, _ = bilinear_sample(cur_image, uv)
+        cur_vals, _ = sample_patches(cur_stack, uv_l)  # (N, P²)
         r = cur_vals - patches  # residual = cur - ref (src/image_alignment.cpp:355)
         r = jnp.where(vis[:, None], r, 0.0)
         return r.reshape(-1), jnp.broadcast_to(vis[:, None], r.shape).reshape(-1)
@@ -205,6 +188,8 @@ class SparseImageAlign:
         cx: jax.Array,
         cy: jax.Array,
     ):
+        from sdvo_tpu.image.stack import build_patch_stack, sample_patches_grad
+
         T = T_init
         rmse = jnp.asarray(0.0, feats.points_ref.dtype)
         status = jnp.asarray(0, jnp.int32)
@@ -214,9 +199,15 @@ class SparseImageAlign:
             )
             J_flat = J.reshape(-1, 6)
 
-            def residual_fn(T_, _lvl=level, _patches=patches, _visible=visible):
+            # one shifted patch stack of the current level serves every
+            # residual pass of the LM loop (and the ESM gradient sampling)
+            cur_stack = build_patch_stack(cur_pyramid[level], self.patch_size)
+            img_shape = tuple(cur_pyramid[level].shape)
+
+            def residual_fn(T_, _lvl=level, _patches=patches, _visible=visible,
+                            _stack=cur_stack, _shape=img_shape):
                 return self._residuals_level(
-                    T_, cur_pyramid[_lvl], feats, _patches, _visible, fx, fy, cx, cy, _lvl
+                    T_, _stack, _shape, feats, _patches, _visible, fx, fy, cx, cy, _lvl
                 )
 
             if self.use_esm:
@@ -227,13 +218,8 @@ class SparseImageAlign:
                 # at the cost of a single extra gradient sampling per level —
                 # and because the Jacobian is loop-invariant, XLA hoists it
                 # out of the LM while_loop entirely.
-                from sdvo_tpu.image.interp import padded_patch_and_gradients
-
-                cur_img = cur_pyramid[level]
                 uv0 = self._project_level(T, feats, fx, fy, cx, cy, level)
-                _, cgx, cgy, _ = padded_patch_and_gradients(
-                    lambda uvq: bilinear_sample(cur_img, uvq), uv0, self.patch_size
-                )
+                _, cgx, cgy, _ = sample_patches_grad(cur_stack, uv0)
                 gx = 0.5 * (gx_ref + cgx)
                 gy = 0.5 * (gy_ref + cgy)
                 J_esm = gx[..., None] * row_u[:, None, :] + gy[..., None] * row_v[:, None, :]

@@ -2,13 +2,25 @@
 
 Replaces ``algorithm::matchEpipolarConstraint`` (src/algorithm.cpp:412-551):
 project the [min, max]-depth hypotheses into the current frame, walk the
-epipolar segment scoring a zero-mean SAD between the (affine-warped) current
-patch and the fixed reference patch, take the argmin, triangulate.
+epipolar segment scoring a zero-mean SAD between patches, take the argmin,
+triangulate.
 
-TPU redesign: the reference walks a variable-length segment per feature in a
-scalar loop; here every filter samples a FIXED number of positions K along its
-own segment (short segments oversample — harmless), so the whole filter bank
-is one (F, K, P²) gather + reduction. SURVEY §7 hard part (d).
+TPU redesign (two levels):
+
+* The reference walks a variable-length segment per feature in a scalar loop;
+  here every filter samples a FIXED number of positions K along its own
+  segment (short segments oversample — harmless), so the whole filter bank is
+  one batched program (SURVEY §7 hard part (d)).
+* The reference warps the CURRENT-image sample grid by a per-feature affine A
+  (src/algorithm.cpp:369-394) — per-pixel fractional positions, i.e. scattered
+  element gathers, the slowest memory pattern on TPU. Instead the current
+  image is sampled on the AXIS-ALIGNED patch grid via a shifted patch stack
+  (contiguous row gathers, sdvo_tpu.image.stack) and the compensating inverse
+  warp A⁻¹ is applied to the STORED reference patch — a local (P², P²)
+  bilinear resample inside the 7×7 patch (clamped at the patch border),
+  which is a trivial batched matmul. Photometrically this scores the same
+  alignment hypothesis; the only approximation is border clamping of the
+  warped reference patch.
 """
 
 from __future__ import annotations
@@ -20,7 +32,8 @@ import jax.numpy as jnp
 
 from sdvo_tpu.geometry.se3 import SE3
 from sdvo_tpu.geometry.triangulation import triangulate_two_view_depth
-from sdvo_tpu.image.interp import bilinear_sample, patch_offsets
+from sdvo_tpu.image.interp import patch_offsets
+from sdvo_tpu.image.stack import PatchStack, build_patch_stack, sample_patches
 
 
 def affine_warp_matrix(
@@ -57,6 +70,55 @@ def affine_warp_matrix(
     return A
 
 
+def _inv2x2(A: jax.Array) -> jax.Array:
+    a, b = A[..., 0, 0], A[..., 0, 1]
+    c, d = A[..., 1, 0], A[..., 1, 1]
+    det = a * d - b * c
+    det = jnp.where(jnp.abs(det) < 1e-9, 1.0, det)
+    inv = jnp.stack(
+        [jnp.stack([d, -b], axis=-1), jnp.stack([-c, a], axis=-1)], axis=-2
+    )
+    return inv / det[..., None, None]
+
+
+def warp_ref_patches(ref_patches: jax.Array, A_inv: jax.Array, patch_size: int) -> jax.Array:
+    """Resample stored reference patches through A⁻¹ (bilinear inside the
+    patch, border-clamped). ref_patches: (F, P²), A_inv: (F, 2, 2) mapping
+    cur-grid offsets → ref-grid offsets. Returns (F, P²)."""
+    F = ref_patches.shape[0]
+    P = patch_size
+    half = P // 2
+    dtype = ref_patches.dtype
+    offs = patch_offsets(P, dtype)  # (P², 2) axis-aligned cur-grid offsets
+    q = jnp.einsum("fij,pj->fpi", A_inv, offs)  # (F, P², 2) ref-grid offsets
+    # exact clip: q = P-1 lands on the edge sample with wx = 0 (the ix = P-1
+    # edge fold below keeps the +1 selector in-bounds)
+    qx = jnp.clip(q[..., 0] + half, 0.0, P - 1.0)
+    qy = jnp.clip(q[..., 1] + half, 0.0, P - 1.0)
+    x0 = jnp.floor(qx)
+    y0 = jnp.floor(qy)
+    wx = (qx - x0)[..., None]  # (F, P², 1)
+    wy = (qy - y0)[..., None]
+    grid = ref_patches.reshape(F, P, P)
+    ix = x0.astype(jnp.int32)
+    iy = y0.astype(jnp.int32)
+    # one-hot row/col selectors → the whole warp is two tiny batched matmuls
+    ar = jnp.arange(P)
+    selx0 = (ix[..., None] == ar).astype(dtype)  # (F, P², P)
+    selx1 = (ix[..., None] + 1 == ar).astype(dtype)
+    sely0 = (iy[..., None] == ar).astype(dtype)
+    sely1 = (iy[..., None] + 1 == ar).astype(dtype)
+    selx = selx0 * (1.0 - wx) + selx1 * wx
+    sely = sely0 * (1.0 - wy) + sely1 * wy
+    # clamped +1 at the border: fold the weight back onto the edge sample
+    edge_x = (ix == P - 1).astype(dtype)[..., None]
+    edge_y = (iy == P - 1).astype(dtype)[..., None]
+    selx = selx + selx0 * wx * edge_x
+    sely = sely + sely0 * wy * edge_y
+    rows = jnp.einsum("fpy,fyx->fpx", sely, grid)  # (F, P², P)
+    return jnp.einsum("fpx,fpx->fp", rows, selx)
+
+
 def zssd_score(ref_patch: jax.Array, cur_patch: jax.Array) -> jax.Array:
     """Zero-mean SAD (the reference's ``computeScore``,
     src/algorithm.cpp:396-410 — despite the ZSSD name it sums |·|)."""
@@ -67,7 +129,7 @@ def zssd_score(ref_patch: jax.Array, cur_patch: jax.Array) -> jax.Array:
 
 def epipolar_search(
     T_cur_ref: SE3,  # batched (F,) relative poses ref-kf → cur
-    cur_image: jax.Array,  # (H, W)
+    cur: jax.Array,  # (H, W) current image OR a prebuilt PatchStack for it
     ref_patches: jax.Array,  # (F, P²) fixed reference patches
     bearings_ref: jax.Array,  # (F, 3) unit
     mu: jax.Array,  # (F,) inverse-depth mean
@@ -84,7 +146,12 @@ def epipolar_search(
     best-scoring location; ``matched`` combines the in-image, score and
     cheirality gates (threshold = patchArea·128, src/algorithm.cpp:427).
     """
-    H, W = cur_image.shape
+    if isinstance(cur, PatchStack):
+        cur_stack = cur
+    else:
+        cur_stack = build_patch_stack(cur, patch_size)
+    W = cur_stack.width.astype(mu.dtype)
+    H = cur_stack.height.astype(mu.dtype)
     dtype = mu.dtype
     half = patch_size // 2
     P2 = patch_size * patch_size
@@ -115,8 +182,9 @@ def epipolar_search(
     epi = uv_max - uv_min  # (F, 2)
     norm = jnp.linalg.norm(epi, axis=-1)
 
-    # affine warp at the center depth; reference pixel position = projection of
-    # the ref-frame point under the identity pose
+    # affine warp at the center depth, applied INVERSELY to the stored
+    # reference patch (see module docstring); reference pixel position =
+    # projection of the ref-frame point under the identity pose
     z_ref = bearings_ref[..., 2] * d_center
     uv_ref = jnp.stack(
         [fx * bearings_ref[..., 0] * d_center / jnp.maximum(z_ref, 1e-9) + cx,
@@ -124,17 +192,13 @@ def epipolar_search(
         axis=-1,
     )
     A = affine_warp_matrix(T_cur_ref, uv_ref, d_center, fx, fy, cx, cy, half)  # (F,2,2)
-
-    offs = patch_offsets(patch_size, dtype=dtype)  # (P², 2)
-    offs_w = jnp.einsum("fij,pj->fpi", A, offs)  # (F, P², 2) warped offsets
+    ref_warped = warp_ref_patches(ref_patches, _inv2x2(A), patch_size)  # (F, P²)
 
     # fixed-K positions along the segment (short segments oversample)
     t = (jnp.arange(num_steps, dtype=dtype) + 0.5) / num_steps  # (K,)
     locs = uv_min[:, None, :] + t[None, :, None] * epi[:, None, :]  # (F, K, 2)
-    sample_uv = locs[:, :, None, :] + offs_w[:, None, :, :]  # (F, K, P², 2)
-    cur_vals, ok = bilinear_sample(cur_image, sample_uv)
-    patch_ok = jnp.all(ok, axis=-1)  # (F, K)
-    scores = zssd_score(ref_patches[:, None, :], cur_vals)  # (F, K)
+    cur_vals, patch_ok = sample_patches(cur_stack, locs)  # (F, K, P²), (F, K)
+    scores = zssd_score(ref_warped[:, None, :], cur_vals)  # (F, K)
     scores = jnp.where(patch_ok, scores, jnp.inf)
 
     short = norm < 2.0

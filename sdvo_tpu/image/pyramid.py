@@ -43,13 +43,11 @@ def abs_gradient_saturated_sum(image: jax.Array, saturate: float = 255.0) -> jax
 
 def _reflect101_pad(x: jax.Array, pad: int, axis: int) -> jax.Array:
     """BORDER_REFLECT_101 padding (OpenCV default for pyrDown): edge pixel not
-    repeated — [c b | a b c d | c b]."""
-    n = x.shape[axis]
-    idx_front = jnp.arange(pad, 0, -1)
-    idx_back = n - 2 - jnp.arange(pad)
-    front = jnp.take(x, idx_front, axis=axis)
-    back = jnp.take(x, idx_back, axis=axis)
-    return jnp.concatenate([front, x, back], axis=axis)
+    repeated — [c b | a b c d | c b]. ``jnp.pad(mode="reflect")`` has exactly
+    these semantics and lowers to XLA's native pad — no gather."""
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (pad, pad)
+    return jnp.pad(x, widths, mode="reflect")
 
 
 def _conv1d_axis(x: jax.Array, kernel: Sequence[float], axis: int) -> jax.Array:

@@ -30,7 +30,7 @@ from typing import Any, Callable, NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from sdvo_tpu.geometry.robust import masked_mad
+from sdvo_tpu.geometry.robust import masked_mad, masked_mad_hist
 
 
 class LevenbergMethod(enum.Enum):
@@ -63,12 +63,19 @@ class LMSettings(NamedTuple):
     # robust weighting applied each residual pass ("tukey" matches the
     # reference's hard-coded tukeyWeighting; any MESTIMATORS key works)
     estimator: str = "tukey"
+    # "exact": sort-based MAD (reference parity). "hist": histogram-CDF MAD —
+    # O(N) reductions instead of two device sorts, the TPU hot-path choice.
+    mad: str = "exact"
+    # stop after an ACCEPTED step whose relative chi² decrease is below this
+    # (0 disables — full reference behavior of running to max_iterations)
+    min_rel_decrease: float = 0.0
 
 
-def tukey_weights(residuals: jax.Array, visible: jax.Array) -> jax.Array:
+def tukey_weights(residuals: jax.Array, visible: jax.Array, mad: str = "exact") -> jax.Array:
     """The reference's ``Optimizer::tukeyWeighting`` (src/optimizer.cpp:485-514):
     sigma = 1.4826·MAD over visible residuals, c = 4.6851σ, zero outside."""
-    sigma = 1.4826 * masked_mad(residuals, visible)
+    mad_fn = masked_mad_hist if mad == "hist" else masked_mad
+    sigma = 1.4826 * mad_fn(residuals, visible)
     sigma = jnp.maximum(sigma, jnp.finfo(residuals.dtype).eps)
     c = 4.6851 * sigma
     w = (1.0 - (residuals * residuals) / (c * c)) ** 2
@@ -76,9 +83,11 @@ def tukey_weights(residuals: jax.Array, visible: jax.Array) -> jax.Array:
     return jnp.where(visible, w, 0.0)
 
 
-def _weights_for(estimator: str, residuals: jax.Array, visible: jax.Array) -> jax.Array:
+def _weights_for(
+    estimator: str, residuals: jax.Array, visible: jax.Array, mad: str = "exact"
+) -> jax.Array:
     if estimator == "tukey":
-        return tukey_weights(residuals, visible)
+        return tukey_weights(residuals, visible, mad)
     from sdvo_tpu.optim.estimators import mestimator_weights
 
     return mestimator_weights(residuals, estimator, visible)
@@ -89,10 +98,58 @@ def _chi2(residuals: jax.Array, weights: jax.Array, visible: jax.Array) -> jax.A
     return jnp.sum(jnp.where(visible, r2, 0.0))
 
 
+_UNROLL_MAX_D = 8
+
+
+def _chol_solve_unrolled(A: jax.Array, g: jax.Array):
+    """Cholesky factor + solve fully unrolled in scalar ops for small static D.
+
+    ``jnp.linalg.cholesky``/``cho_solve`` lower to LAPACK-style custom calls —
+    separate kernel dispatches that dominate a 6×6 solve inside a while_loop.
+    Unrolling emits ~D³/3 fused VPU scalar ops instead. Returns (dx, ok) where
+    ok = all pivots strictly positive and dx finite.
+    """
+    D = A.shape[0]
+    tiny = jnp.asarray(jnp.finfo(A.dtype).tiny, A.dtype)
+    L = [[None] * D for _ in range(D)]
+    ok = jnp.asarray(True)
+    for i in range(D):
+        for j in range(i + 1):
+            s = A[i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                ok = ok & (s > 0.0)
+                L[i][j] = jnp.sqrt(jnp.maximum(s, tiny))
+            else:
+                L[i][j] = s / L[j][j]
+    # forward substitution L y = g
+    y = [None] * D
+    for i in range(D):
+        s = g[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    # backward substitution Lᵀ x = y
+    x = [None] * D
+    for i in reversed(range(D)):
+        s = y[i]
+        for k in range(i + 1, D):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    dx = jnp.stack(x)
+    return dx, ok & jnp.all(jnp.isfinite(dx))
+
+
 def _solve_damped(H: jax.Array, g: jax.Array) -> jax.Array:
     """Solve H dx = g via Cholesky with diagonal-jitter fallback."""
     dtype = H.dtype
     eye = jnp.eye(H.shape[0], dtype=dtype)
+
+    if H.shape[0] <= _UNROLL_MAX_D:
+        dx0, ok0 = _chol_solve_unrolled(H, g)
+        dx1, _ = _chol_solve_unrolled(H + (1e-6 * jnp.trace(H)) * eye, g)
+        return jnp.where(ok0, dx0, dx1)
 
     def try_solve(jitter):
         L, ok = _chol(H + jitter * eye)
@@ -153,7 +210,7 @@ def optimize_lm(
 
     r0, vis0 = residual_fn(params0)
     dtype = r0.dtype
-    w0 = _weights_for(settings.estimator, r0, vis0)
+    w0 = _weights_for(settings.estimator, r0, vis0, settings.mad)
     chi0 = _chi2(r0, w0, vis0)
 
     # probe J once for shape/D
@@ -209,7 +266,7 @@ def optimize_lm(
 
         new_params = update_fn(s.params, dx)
         r_new, vis_new = residual_fn(new_params)
-        w_new = _weights_for(settings.estimator, r_new, vis_new)
+        w_new = _weights_for(settings.estimator, r_new, vis_new, settings.mad)
         chi_new = _chi2(r_new, w_new, vis_new)
 
         # Gain ratio rho = actual decrease / predicted decrease. The reference
@@ -241,6 +298,21 @@ def optimize_lm(
 
         abort = bad_dx | nonfinite | small_step | lam_bound
         accept = success & ~abort
+
+        # converged: stop when progress is exhausted — either an ACCEPTED step
+        # barely improved chi², or the PREDICTED decrease dxᵀ(λdx+g) is already
+        # negligible relative to chi² (at the optimum g→0, so rejected steps
+        # also terminate instead of burning the remaining iterations doubling
+        # lambda). The reference only has the absolute min_chi2 gate
+        # (src/optimizer.cpp:24); a relative gate works at every residual
+        # scale. 0 disables.
+        if settings.min_rel_decrease > 0.0:
+            chi_ref = jnp.maximum(s.chi2, jnp.finfo(dtype).tiny)
+            rel_dec = (s.chi2 - chi_new) / chi_ref
+            rel_pred = pred / chi_ref
+            abort = abort | (accept & (rel_dec < settings.min_rel_decrease)) | (
+                rel_pred < 0.1 * settings.min_rel_decrease
+            )
 
         def sel(new, old):
             return jax.tree_util.tree_map(
@@ -290,7 +362,7 @@ def optimize_gn(
     def body(i, carry):
         params, _, _ = carry
         r, vis = residual_fn(params)
-        w = _weights_for(settings.estimator, r, vis)
+        w = _weights_for(settings.estimator, r, vis, settings.mad)
         J = jacobian_fn(params)
         wv = jnp.where(vis, w, 0.0)
         Jw = J * wv[:, None]

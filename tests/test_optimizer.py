@@ -130,3 +130,39 @@ def test_lm_marquardt_method(rng):
     )
     err = np.linalg.norm(np.asarray(se3.log(T_est.compose(T_true.inverse()))))
     assert err < 0.01
+
+
+def test_hist_mad_matches_exact(rng):
+    from sdvo_tpu.geometry.robust import masked_mad, masked_mad_hist
+
+    x = jnp.asarray(rng.normal(0.0, 12.0, size=(6400,)))
+    mask = jnp.asarray(rng.uniform(size=(6400,)) > 0.2)
+    exact = float(masked_mad(x, mask))
+    approx = float(masked_mad_hist(x, mask))
+    # bin width = range/256 ≈ 0.35 here; interpolation gets much closer
+    assert abs(approx - exact) < 0.15 * exact + 0.2
+
+
+def test_unrolled_cholesky_solve(rng):
+    from sdvo_tpu.optim.optimizer import _chol_solve_unrolled
+
+    A = rng.normal(size=(6, 6))
+    H = jnp.asarray(A @ A.T + 6 * np.eye(6))
+    g = jnp.asarray(rng.normal(size=(6,)))
+    dx, ok = _chol_solve_unrolled(H, g)
+    assert bool(ok)
+    np.testing.assert_allclose(np.asarray(dx), np.linalg.solve(np.asarray(H), np.asarray(g)), rtol=1e-6)
+    # non-PD matrix flagged
+    _, ok_bad = _chol_solve_unrolled(jnp.asarray(-np.eye(6)), g)
+    assert not bool(ok_bad)
+
+
+def test_lm_hist_mad_and_early_exit(rng):
+    T_true, res, jac, upd = _point_alignment_problem(rng, n=200, outliers=40, noise=0.005)
+    upd_neg = lambda T, dx: T.compose(se3.exp(-dx))
+    T_est, rmse, status = optimize_lm(
+        SE3.identity(dtype=jnp.float64), res, jac, upd_neg,
+        LMSettings(max_iterations=30, mad="hist", min_rel_decrease=1e-3),
+    )
+    err = np.linalg.norm(np.asarray(se3.log(T_est.compose(T_true.inverse()))))
+    assert err < 0.01

@@ -2,7 +2,11 @@
 """Per-stage timing of the frame step at KITTI geometry — identifies which
 device kernel dominates so optimization effort goes to the right place.
 
-Run on the real device:  python tools/profile_frame.py
+Each stage is iterated REPS times inside one ``lax.scan`` dispatch, so the
+reported per-iteration time is pure device compute — the host-link round trip
+(tens of ms over a tunneled TPU) is paid once per stage, not per rep.
+
+Run on the real device:  python -u tools/profile_frame.py
 """
 
 import os
@@ -22,19 +26,57 @@ import jax.numpy as jnp
 
 import bench as B
 
+REPS = 20
 
-def timeit(fn, args, n=50, name=""):
+
+def device_time(make_scan_fn, args, name=""):
+    """make_scan_fn(*args) -> jitted fn running REPS iterations on device."""
+    fn = make_scan_fn
     out = fn(*args)
-    jax.block_until_ready(out)
+    jax.block_until_ready(out)  # compile + warm
     ts = []
-    for _ in range(n):
+    for _ in range(5):
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
+        jax.block_until_ready(fn(*args))
         ts.append(time.perf_counter() - t0)
-    dt = float(np.median(ts)) * 1e3
-    print(f"{name:32s} {dt:8.3f} ms")
+    dt = float(np.median(ts)) / REPS * 1e3
+    print(f"{name:36s} {dt:8.3f} ms/iter")
     return dt
+
+
+def scanned(step_fn):
+    """Iterate step_fn REPS times in one dispatch. The carry holds a scalar
+    perturbation fed into the FIRST float array argument each iteration, so
+    the body has a true serial dependency and XLA cannot hoist or CSE it."""
+
+    def run(*args):
+        def body(eps, i):
+            leaves, treedef = jax.tree_util.tree_flatten(args)
+            injected = False
+            new_leaves = []
+            for l in leaves:
+                if (
+                    not injected
+                    and hasattr(l, "dtype")
+                    and jnp.issubdtype(l.dtype, jnp.floating)
+                ):
+                    new_leaves.append(l + eps.astype(l.dtype))
+                    injected = True
+                else:
+                    new_leaves.append(l)
+            perturbed = jax.tree_util.tree_unflatten(treedef, new_leaves)
+            out = step_fn(*perturbed)
+            s = sum(
+                jnp.sum(x.astype(jnp.float32))
+                for x in jax.tree_util.tree_leaves(out)
+                if hasattr(x, "astype")
+            )
+            return (s * 0.0).astype(jnp.float32), s
+
+        _, outs = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(REPS))
+        return outs
+
+    return jax.jit(run)
 
 
 def main():
@@ -46,7 +88,9 @@ def main():
 
     print("devices:", jax.devices())
     rng = np.random.default_rng(0)
-    img_ref, img_cur, feats, T0, (fx, fy, cx, cy) = B.build_inputs(rng)
+    img_ref, images, T_true, feats, (fx, fy, cx, cy) = B.build_inputs(rng)
+    img_cur = images[0]
+    T0 = SE3.identity(dtype=B.DTYPE)
     aligner = SparseImageAlign(patch_size=5, min_level=0, max_level=3)
     DTYPE = B.DTYPE
     LEVELS = B.LEVELS
@@ -81,40 +125,46 @@ def main():
         jnp.broadcast_to(jnp.asarray([0.3, 0.0, 0.5], DTYPE), (N_FILTERS, 3)),
     )
 
-    # --- stages, each its own jit ------------------------------------------
-    t_pyr = timeit(pyr_fn, (img_cur,), name="pyramid build (4 levels)")
-
+    fxj, fyj, cxj, cyj = (jnp.asarray(v, DTYPE) for v in (fx, fy, cx, cy))
     host_pyr = tuple(r[None] for r in ref_pyr.images)
-    align_fn = jax.jit(
-        lambda T0_, feats_, cur_imgs: aligner._align_impl(
-            T0_, host_pyr, cur_imgs, feats_,
-            jnp.asarray(fx, DTYPE), jnp.asarray(fy, DTYPE),
-            jnp.asarray(cx, DTYPE), jnp.asarray(cy, DTYPE),
-        )
-    )
-    t_align = timeit(align_fn, (T0, feats, tuple(cur_pyr.images)), name="sparse image alignment (4 lvl)")
+    cur_imgs = tuple(cur_pyr.images)
+
+    # --- stages, each a scanned jit ----------------------------------------
+    t_pyr = device_time(
+        scanned(lambda im: build_pyramid(im, LEVELS).images[0]),
+        (img_cur,), name="pyramid build (4 levels)")
+
+    t_align = device_time(
+        scanned(lambda T0_, feats_: aligner._align_impl(
+            T0_, host_pyr, cur_imgs, feats_, fxj, fyj, cxj, cyj)[0].translation),
+        (T0, feats), name="sparse image alignment (4 lvl)")
 
     uv_m = feats.uv_host[:N_MATCHES]
-    fa_fn = jax.jit(
-        lambda g, uv: align_features_2d(
+    t_fa = device_time(
+        scanned(lambda g, uv: align_features_2d(
             g, g, uv, uv, jnp.ones((N_MATCHES,), bool), 5, 10,
-            jnp.zeros((N_MATCHES,), jnp.int32),
-        )
-    )
-    t_fa = timeit(fa_fn, (cur_pyr.base_gradient, uv_m), name=f"feature alignment ({N_MATCHES})")
+            jnp.zeros((N_MATCHES,), jnp.int32))[0]),
+        (cur_pyr.base_gradient, uv_m), name=f"feature alignment ({N_MATCHES})")
 
-    df_fn = jax.jit(
-        lambda bank, T, im: update_filters(bank, T, im, fx, fy, cx, cy, jnp.asarray(1))
-    )
-    t_df = timeit(df_fn, (filters, T_rel, cur_pyr.base_image), name=f"depth filters ({N_FILTERS})")
+    t_df = device_time(
+        scanned(lambda bank, T, im: update_filters(
+            bank, T, im, fxj, fyj, cxj, cyj, jnp.asarray(1))[0].mu),
+        (filters, T_rel, cur_pyr.base_image), name=f"depth filters ({N_FILTERS})")
 
-    # null round-trip: measures dispatch+tunnel latency floor
+    # null round-trip: measures dispatch+tunnel latency floor (NOT scanned)
     null_fn = jax.jit(lambda x: x + 1.0)
-    t_null = timeit(null_fn, (jnp.zeros((8,), DTYPE),), name="null dispatch round-trip")
+    x0 = jnp.zeros((8,), DTYPE)
+    jax.block_until_ready(null_fn(x0))
+    ts = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        jax.block_until_ready(null_fn(x0))
+        ts.append(time.perf_counter() - t0)
+    t_null = float(np.median(ts)) * 1e3
+    print(f"{'null dispatch round-trip':36s} {t_null:8.3f} ms")
 
     total = t_pyr + t_align + t_fa + t_df
-    print(f"{'sum of stages':32s} {total:8.3f} ms")
-    print(f"{'latency floor x4':32s} {t_null*4:8.3f} ms")
+    print(f"{'sum of stages (device)':36s} {total:8.3f} ms  ->  {1e3/total:.1f} fps ceiling")
 
 
 if __name__ == "__main__":
