@@ -29,8 +29,26 @@ import bench as B
 REPS = 20
 
 
+_NULL_RTT_MS = [0.0]  # set once by measure_null_rtt(); subtracted per dispatch
+
+
+def measure_null_rtt():
+    null_fn = jax.jit(lambda x: x + 1.0)
+    x0 = jnp.zeros((8,), jnp.float32)
+    jax.block_until_ready(null_fn(x0))
+    ts = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        jax.block_until_ready(null_fn(x0))
+        ts.append(time.perf_counter() - t0)
+    _NULL_RTT_MS[0] = float(np.median(ts)) * 1e3
+    print(f"{'null dispatch round-trip':36s} {_NULL_RTT_MS[0]:8.3f} ms (subtracted)")
+    return _NULL_RTT_MS[0]
+
+
 def device_time(make_scan_fn, args, name=""):
-    """make_scan_fn(*args) -> jitted fn running REPS iterations on device."""
+    """make_scan_fn(*args) -> jitted fn running REPS iterations on device.
+    The host-link round trip (one per dispatch) is subtracted."""
     fn = make_scan_fn
     out = fn(*args)
     jax.block_until_ready(out)  # compile + warm
@@ -39,7 +57,7 @@ def device_time(make_scan_fn, args, name=""):
         t0 = time.perf_counter()
         jax.block_until_ready(fn(*args))
         ts.append(time.perf_counter() - t0)
-    dt = float(np.median(ts)) / REPS * 1e3
+    dt = max(float(np.median(ts)) * 1e3 - _NULL_RTT_MS[0], 0.0) / REPS
     print(f"{name:36s} {dt:8.3f} ms/iter")
     return dt
 
@@ -130,6 +148,7 @@ def main():
     cur_imgs = tuple(cur_pyr.images)
 
     # --- stages, each a scanned jit ----------------------------------------
+    measure_null_rtt()
     t_pyr = device_time(
         scanned(lambda im: build_pyramid(im, LEVELS).images[0]),
         (img_cur,), name="pyramid build (4 levels)")
@@ -146,22 +165,12 @@ def main():
             jnp.zeros((N_MATCHES,), jnp.int32))[0]),
         (cur_pyr.base_gradient, uv_m), name=f"feature alignment ({N_MATCHES})")
 
+    # image FIRST so the scan perturbation defeats loop-invariant hoisting of
+    # the epipolar sampling (it depends on the image, not on uv_ref)
     t_df = device_time(
-        scanned(lambda bank, T, im: update_filters(
+        scanned(lambda im, bank, T: update_filters(
             bank, T, im, fxj, fyj, cxj, cyj, jnp.asarray(1))[0].mu),
-        (filters, T_rel, cur_pyr.base_image), name=f"depth filters ({N_FILTERS})")
-
-    # null round-trip: measures dispatch+tunnel latency floor (NOT scanned)
-    null_fn = jax.jit(lambda x: x + 1.0)
-    x0 = jnp.zeros((8,), DTYPE)
-    jax.block_until_ready(null_fn(x0))
-    ts = []
-    for _ in range(10):
-        t0 = time.perf_counter()
-        jax.block_until_ready(null_fn(x0))
-        ts.append(time.perf_counter() - t0)
-    t_null = float(np.median(ts)) * 1e3
-    print(f"{'null dispatch round-trip':36s} {t_null:8.3f} ms")
+        (cur_pyr.base_image, filters, T_rel), name=f"depth filters ({N_FILTERS})")
 
     total = t_pyr + t_align + t_fa + t_df
     print(f"{'sum of stages (device)':36s} {total:8.3f} ms  ->  {1e3/total:.1f} fps ceiling")
