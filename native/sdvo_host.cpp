@@ -23,10 +23,13 @@ extern "C" {
 // Inputs must be sorted by response, strongest first (the caller sorts).
 // Returns the number of selected indices written to out_indices.
 //
-// Mirrors the published SSC algorithm the reference vendors
-// (reference feature_selection.cpp:165-248): binary search on the
-// suppression-square width until the kept-point count lands in
-// [K*(1-tol), K*(1+tol)].
+// Implements the published SSC algorithm of Bailo et al., "Efficient
+// adaptive non-maximal suppression algorithms for homogeneous spatial
+// keypoint distribution" (Pattern Recognition Letters 2018), following the
+// authors' released reference code (github.com/BAILOOL/ANMS-Codes) — the
+// same algorithm the reference vendors (feature_selection.cpp:165-248):
+// binary search on the suppression-square width until the kept-point count
+// lands in [K*(1-tol), K*(1+tol)].
 int32_t sdvo_ssc_select(const float* xs, const float* ys, int32_t n,
                         int32_t num_ret_points, float tolerance, int32_t cols,
                         int32_t rows, int32_t* out_indices) {

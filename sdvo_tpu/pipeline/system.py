@@ -185,9 +185,16 @@ class System:
         a = self.arena
         filt = {f"filt_{k}": np.asarray(v) for k, v in self.filters._asdict().items()}
         traj = np.stack([np.full((4, 4), np.nan) if T is None else T for T in self.trajectory]) if self.trajectory else np.zeros((0, 4, 4))
+        # level-0 keyframe images: pyramids are rebuilt from these on load so
+        # photometric tracking (alignment + reprojection) can actually resume
+        kf_img0 = np.zeros((a.max_keyframes, self.height, self.width), np.float32)
+        for s in a.keyframe_slots():
+            if a.kf_pyramids[s] is not None:
+                kf_img0[s] = np.asarray(a.kf_pyramids[s].base_image, np.float32)
         np.savez_compressed(
             path,
             status=self.status.value,
+            kf_img0=kf_img0,
             frame_count=self.frame_count,
             prev_rel=self.prev_rel,
             kf_valid=a.kf_valid, kf_frame_id=a.kf_frame_id, kf_pose=a.kf_pose,
@@ -200,9 +207,15 @@ class System:
         )
 
     def load_checkpoint(self, path: str):
-        """Restore state saved by save_checkpoint. Keyframe PYRAMIDS are not
-        serialized (images are large); tracking resumes after re-seeding the
-        ref frame with the next add_image call in RELOCALIZATION mode."""
+        """Restore state saved by save_checkpoint and re-arm tracking.
+
+        Keyframe pyramids are rebuilt from the serialized level-0 images, and
+        the tracking reference (``ref_frame``/``last_kf``) is re-seeded from
+        the NEWEST restored keyframe, so the very next ``add_image`` call
+        tracks photometrically instead of dereferencing a missing ref frame.
+        The constant-velocity seed becomes the last tracked pose relative to
+        that keyframe (one-frame velocity error — well inside the coarse
+        pyramid level's convergence basin)."""
         z = np.load(path)
         a = self.arena
         self.status = SystemStatus(int(z["status"]))
@@ -224,6 +237,43 @@ class System:
         self.trajectory = [None if np.any(np.isnan(T)) else T for T in traj]
         filt = {k[5:]: jnp.asarray(z[k]) for k in z.files if k.startswith("filt_")}
         self.filters = FilterBank(**filt)
+
+        # rebuild keyframe pyramids from the stored level-0 images
+        if "kf_img0" in z.files:
+            for s in a.keyframe_slots():
+                a.kf_pyramids[s] = build_pyramid(
+                    jnp.asarray(z["kf_img0"][s], self.dtype), self.num_levels
+                )
+
+        # re-seed the tracking reference from the newest keyframe
+        self.ref_frame = None
+        self.last_kf = None
+        slots = a.keyframe_slots()
+        if len(slots) and a.kf_pyramids[slots[0]] is not None:
+            newest = int(slots[np.argmax(a.kf_frame_id[slots])])
+            rec = _FrameRecord(
+                int(a.kf_frame_id[newest]), 0.0, a.kf_pyramids[newest],
+                a.kf_pose[newest].copy(),
+            )
+            rows = np.nonzero(a.feat_valid[newest] & (a.feat_point[newest] >= 0))[0]
+            rec.feat_uv = a.feat_uv[newest, rows].copy()
+            rec.feat_point = a.feat_point[newest, rows].copy()
+            rec.kf_slot = newest
+            self.ref_frame = rec
+            self.last_kf = rec
+            # seed: motion of the last tracked frame relative to this keyframe
+            # (when the newest KF IS the last tracked frame the saved
+            # constant-velocity delta is already the right seed — keep it)
+            if rec.frame_id != self.frame_count - 1:
+                last_T = next((T for T in reversed(self.trajectory) if T is not None), None)
+                self.prev_rel = (
+                    last_T @ np.linalg.inv(rec.pose_wc) if last_T is not None else np.eye(4)
+                )
+        elif self.status in (SystemStatus.PROCESS_NEW_FRAME, SystemStatus.RELOCALIZATION,
+                             SystemStatus.PROCESS_SECOND_FRAME):
+            # no usable keyframe imagery — restart tracking from scratch while
+            # keeping the restored trajectory/frame counter
+            self.status = SystemStatus.PROCESS_FIRST_FRAME
 
     # ------------------------------------------------------- state handlers
     def _process_first_frame(self, frame: _FrameRecord) -> FrameResult:
@@ -376,6 +426,8 @@ class System:
     def _relocalize_frame(self, frame: _FrameRecord) -> FrameResult:
         """Relocalization stub matching the reference (src/system.cpp:448-457):
         align against the closest keyframe, resume on success."""
+        if self.ref_frame is None:
+            return FrameResult.FAILED
         center = -self.ref_frame.pose_wc[:3, :3].T @ self.ref_frame.pose_wc[:3, 3]
         slot = self.arena.closest_keyframe(center)
         if slot is None:

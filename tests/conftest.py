@@ -11,6 +11,14 @@ to pin tests to the host CPU.
 """
 
 import os
+import subprocess
+
+# fresh-clone friendliness: the native host library (SSC ANMS) is a build
+# product; make sure it exists before any test imports sdvo_tpu.features.ssc
+_repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_so = os.path.join(_repo, "native", "libsdvo_host.so")
+if not os.path.exists(_so):
+    subprocess.run(["make", "-C", os.path.join(_repo, "native")], check=False)
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
