@@ -15,10 +15,12 @@ round-trip is paid once per chunk, not once per frame.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 vs_baseline: the reference (amin-abouee/semi-direct-visual-odometry) publishes
-no numbers and its C++/OpenCV/g2o stack cannot be built in this image; we use
-40 fps as the baseline figure — the ballpark of single-thread CPU SVO-class
-trackers (SVO paper reports ~55 fps on a laptop CPU for a lighter config; this
-reference adds per-frame reprojection alignment so 40 is a fair estimate).
+no numbers and its C++ stack cannot be built in this image (Eigen3/Sophus/g2o/
+nlohmann_json all absent, zero egress — see BASELINE.md "Measured baseline").
+The baseline is instead MEASURED: tools/ref_proxy_bench.cpp reproduces the
+reference's per-frame op mix (scalar per-feature loops, bilinear interps,
+nth_element MAD, LM solves) single-threaded at identical capacities and
+measures 49.9 fps on this machine (median of 3).
 """
 
 import json
@@ -37,7 +39,7 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 import jax.numpy as jnp
 
-REFERENCE_FPS = 40.0
+REFERENCE_FPS = 49.9  # measured: tools/ref_proxy_bench.cpp (see BASELINE.md)
 
 H, W = 376, 1241
 LEVELS = 4
