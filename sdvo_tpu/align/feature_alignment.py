@@ -98,9 +98,6 @@ def align_features_2d(
     half = patch_size // 2
     border = half + 2
     H, W = cur_gradient.shape
-    dtype = uv_init.dtype
-    offs = patch_offsets(patch_size, dtype=dtype)  # (P², 2)
-    P2 = offs.shape[0]
 
     if ref_gradient.ndim == 2:
         ref_gradient = ref_gradient[None]
@@ -110,24 +107,49 @@ def align_features_2d(
     # --- reference patches + fixed jacobian (computeJacobian, :64-110) ------
     # shifted patch stacks: contiguous row gathers instead of scattered
     # element gathers (see sdvo_tpu.image.stack)
-    from sdvo_tpu.image.stack import (
-        build_patch_stack,
-        build_patch_stack_multi,
-        sample_patches,
-        sample_patches_grad_multi,
-    )
+    from sdvo_tpu.image.stack import build_patch_stack_multi, sample_patches_grad_multi
 
     ref_stack = build_patch_stack_multi(ref_gradient, patch_size)
     ref_patch, gx, gy, _ = sample_patches_grad_multi(ref_stack, host_idx, uv_ref)
-    cur_stack = build_patch_stack(cur_gradient, patch_size)
-    ones = jnp.ones_like(gx)
-    J = jnp.stack([gx, gy, ones], axis=-1)  # (N, P², 3)
 
     ref_inside = (
         (uv_ref[:, 0] >= border) & (uv_ref[:, 1] >= border)
         & (uv_ref[:, 0] < W - border) & (uv_ref[:, 1] < H - border)
     )
     live = valid & ref_inside
+    return align_features_2d_cached(
+        cur_gradient, ref_patch, gx, gy, uv_init, live, patch_size, max_iterations
+    )
+
+
+def align_features_2d_cached(
+    cur_gradient: jax.Array,  # (H, W) gradient image of the current frame
+    ref_patch: jax.Array,  # (N, P²) cached reference patches
+    gx: jax.Array,  # (N, P²) cached reference-patch x-gradients
+    gy: jax.Array,  # (N, P²) cached reference-patch y-gradients
+    uv_init: jax.Array,  # (N, 2) initial position in the current image
+    live: jax.Array,  # (N,) bool — feature valid AND its ref patch usable
+    patch_size: int = 5,
+    max_iterations: int = 10,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """:func:`align_features_2d` with PRECOMPUTED reference patch tables.
+
+    An observation's position in its host keyframe never moves, so the map
+    arena extracts each observation's patch + gradients once at creation and
+    feature alignment consumes those tables — per-frame work then touches only
+    the CURRENT image (one shifted stack), independent of how many keyframes
+    host the candidates.
+    """
+    half = patch_size // 2
+    border = half + 2
+    H, W = cur_gradient.shape
+    dtype = uv_init.dtype
+
+    from sdvo_tpu.image.stack import build_patch_stack, sample_patches
+
+    cur_stack = build_patch_stack(cur_gradient, patch_size)
+    ones = jnp.ones_like(gx)
+    J = jnp.stack([gx, gy, ones], axis=-1)  # (N, P², 3)
 
     def residuals(params):
         cur_vals, _ = sample_patches(cur_stack, params[:, :2])  # (N, P²)

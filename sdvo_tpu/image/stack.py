@@ -164,33 +164,32 @@ def sample_patches_multi(
 ) -> Tuple[jax.Array, jax.Array]:
     """Like :func:`sample_patches` but per-feature host selection from a
     (K, H·W, P²) multi-image stack (the align path samples from the ref frame
-    AND its last keyframe, src/image_alignment.cpp:30-41)."""
-    K = ps.data.shape[0]
-    vals, oks = [], []
-    for k in range(K):
-        sub = PatchStack(ps.data[k], ps.width, ps.height)
-        v, ok = sample_patches(sub, centers)
-        vals.append(v)
-        oks.append(ok)
-    vals = jnp.stack(vals)
-    oks = jnp.stack(oks)
-    sel = host_idx[None, :] == jnp.arange(K)[:, None]
-    val = jnp.sum(jnp.where(sel[..., None], vals, 0.0), axis=0)
-    ok = jnp.any(sel & oks, axis=0)
-    return val, ok
+    AND its last keyframe, src/image_alignment.cpp:30-41).
+
+    The K images are addressed as ONE flat (K·H·W, P²) row space: feature i's
+    rows live at ``host_idx[i]·H·W + base`` — a single set of 4 row gathers
+    regardless of K, instead of sampling every image and masking (which costs
+    K× the gather traffic).
+    """
+    K, HW, P2 = ps.data.shape
+    flat = ps.data.reshape(K * HW, P2)
+    base, wx, wy, x0, y0 = _base_and_weights(ps, centers)
+    base = base + host_idx.astype(jnp.int32) * HW
+    vals = _blend(flat, base, ps.width, wx, wy)
+    ok = _inside(ps, x0, y0, 1)
+    return vals, ok
 
 
 def sample_patches_grad_multi(ps: PatchStack, host_idx: jax.Array, centers: jax.Array):
-    """Multi-host variant of :func:`sample_patches_grad`."""
-    K = ps.data.shape[0]
-    outs = []
-    for k in range(K):
-        sub = PatchStack(ps.data[k], ps.width, ps.height)
-        outs.append(sample_patches_grad(sub, centers))
-    sel = host_idx[None, :] == jnp.arange(K)[:, None]
-    sel3 = sel[..., None]
-    patch = jnp.sum(jnp.where(sel3, jnp.stack([o[0] for o in outs]), 0.0), axis=0)
-    gx = jnp.sum(jnp.where(sel3, jnp.stack([o[1] for o in outs]), 0.0), axis=0)
-    gy = jnp.sum(jnp.where(sel3, jnp.stack([o[2] for o in outs]), 0.0), axis=0)
-    ok = jnp.any(sel & jnp.stack([o[3] for o in outs]), axis=0)
+    """Multi-host variant of :func:`sample_patches_grad` via the same flat
+    (K·H·W, P²) row addressing as :func:`sample_patches_multi`."""
+    K, HW, P2 = ps.data.shape
+    flat = ps.data.reshape(K * HW, P2)
+    base, wx, wy, x0, y0 = _base_and_weights(ps, centers)
+    base = base + host_idx.astype(jnp.int32) * HW
+    W = ps.width
+    patch = _blend(flat, base, W, wx, wy)
+    gx = 0.5 * (_blend(flat, base + 1, W, wx, wy) - _blend(flat, base - 1, W, wx, wy))
+    gy = 0.5 * (_blend(flat, base + W, W, wx, wy) - _blend(flat, base - W, W, wx, wy))
+    ok = _inside(ps, x0, y0, 2)
     return patch, gx, gy, ok

@@ -45,10 +45,12 @@ class MapArena:
         max_keyframes: int = 10,
         max_points: int = 4096,
         max_features_per_kf: int = 256,
+        align_patch_size: int = 5,
     ):
         self.max_keyframes = max_keyframes
         self.max_points = max_points
         self.max_features_per_kf = max_features_per_kf
+        self.align_patch_size = align_patch_size
 
         # keyframe slots
         self.kf_valid = np.zeros(max_keyframes, bool)
@@ -61,6 +63,17 @@ class MapArena:
         self.feat_uv = np.zeros((max_keyframes, max_features_per_kf, 2), np.float64)
         self.feat_point = -np.ones((max_keyframes, max_features_per_kf), np.int64)
         self.feat_valid = np.zeros((max_keyframes, max_features_per_kf), bool)
+        # cached reference patch (+ gradients) on the host KF's gradient image,
+        # extracted ONCE when the observation is created. An observation's uv in
+        # its host never moves, so feature alignment can read these tables
+        # instead of rebuilding a (K, H·W, P²) shifted stack of every keyframe
+        # image each frame (the reference re-interpolates the ref patch per
+        # reprojection, src/feature_alignment.cpp:64-110 — pure recompute).
+        P2 = align_patch_size * align_patch_size
+        self.feat_patch = np.zeros((max_keyframes, max_features_per_kf, P2), np.float32)
+        self.feat_gx = np.zeros((max_keyframes, max_features_per_kf, P2), np.float32)
+        self.feat_gy = np.zeros((max_keyframes, max_features_per_kf, P2), np.float32)
+        self.feat_patch_ok = np.zeros((max_keyframes, max_features_per_kf), bool)
 
         # point slots
         self.pt_pos = np.zeros((max_points, 3), np.float64)
@@ -68,6 +81,10 @@ class MapArena:
         self.pt_succeeded = np.zeros(max_points, np.int32)
         self.pt_failed = np.zeros(max_points, np.int32)
         self.pt_valid = np.zeros(max_points, bool)
+        # estimated surface normal (unit, world frame) — the viewing direction
+        # of the first observation, as Point::computeNormal
+        # (src/point.cpp:104-111); consumed by close-view observation selection
+        self.pt_normal = np.zeros((max_points, 3), np.float64)
 
     # ---- keyframe management ----------------------------------------------
     def num_keyframes(self) -> int:
@@ -141,17 +158,50 @@ class MapArena:
         return -T[:3, :3].T @ T[:3, 3]
 
     # ---- features / points ------------------------------------------------
-    def add_features(self, slot: int, uv: np.ndarray, point_idx: np.ndarray) -> int:
-        """Append features to a KF slot; returns how many fit."""
+    def add_features(
+        self,
+        slot: int,
+        uv: np.ndarray,
+        point_idx: np.ndarray,
+        patch: Optional[np.ndarray] = None,
+        gx: Optional[np.ndarray] = None,
+        gy: Optional[np.ndarray] = None,
+        patch_ok: Optional[np.ndarray] = None,
+    ) -> int:
+        """Append features to a KF slot; returns how many fit.
+
+        ``patch``/``gx``/``gy`` (n, P²) cache the reference patch + gradients
+        sampled from this KF's gradient image at ``uv`` (see the field
+        comment); ``patch_ok`` marks patches fully inside the image."""
         free = np.nonzero(~self.feat_valid[slot])[0]
         n = min(len(free), len(uv))
+        if n < len(uv):
+            # no silent caps: overflowing observations are dropped loudly
+            import logging
+
+            logging.getLogger("MapArena").warning(
+                "feature table of KF slot %d full: dropping %d/%d new features",
+                slot, len(uv) - n, len(uv),
+            )
         rows = free[:n]
         self.feat_uv[slot, rows] = uv[:n]
         self.feat_point[slot, rows] = point_idx[:n]
         self.feat_valid[slot, rows] = True
+        if patch is not None:
+            self.feat_patch[slot, rows] = patch[:n]
+            self.feat_gx[slot, rows] = gx[:n]
+            self.feat_gy[slot, rows] = gy[:n]
+            self.feat_patch_ok[slot, rows] = True if patch_ok is None else patch_ok[:n]
+        else:
+            self.feat_patch_ok[slot, rows] = False
         return n
 
-    def add_point(self, pos_w: np.ndarray, ptype: PointType = PointType.CANDIDATE) -> int:
+    def add_point(
+        self,
+        pos_w: np.ndarray,
+        ptype: PointType = PointType.CANDIDATE,
+        observer_center_w: Optional[np.ndarray] = None,
+    ) -> int:
         free = np.nonzero(~self.pt_valid)[0]
         if len(free) == 0:
             # recycle the DELETED pool first, then give up gracefully
@@ -162,6 +212,15 @@ class MapArena:
         self.pt_succeeded[slot] = 0
         self.pt_failed[slot] = 0
         self.pt_valid[slot] = True
+        # normal = direction point → first observing camera (the reference
+        # rotates the obs bearing back to world and negates it,
+        # src/point.cpp:104-111)
+        if observer_center_w is not None:
+            d = np.asarray(observer_center_w, np.float64) - np.asarray(pos_w, np.float64)
+            n = np.linalg.norm(d)
+            self.pt_normal[slot] = d / n if n > 1e-12 else 0.0
+        else:
+            self.pt_normal[slot] = 0.0
         return slot
 
     def point_observations(self, pt: int) -> List[Tuple[int, int]]:

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from sdvo_tpu.align.feature_alignment import align_features_2d
+from sdvo_tpu.align.feature_alignment import align_features_2d_cached
 from sdvo_tpu.geometry.se3 import SE3
 
 
@@ -55,7 +55,6 @@ class ReprojectionResult(NamedTuple):
 def reproject_map(
     T_cur_w: SE3,
     cur_gradient,  # (H, W) device
-    kf_gradients,  # (K_max, H, W) device stack of keyframe gradient images
     arena,
     cell_size: int,
     max_matches: int = 150,
@@ -81,9 +80,28 @@ def reproject_map(
         (arena.pt_type[pts] == int(PointType.GOOD)) | (arena.pt_type[pts] == int(PointType.CANDIDATE))
     )
     ks, rows, pts = ks[keep], rows[keep], pts[keep]
-    # deduplicate points (a point observed by several KFs projects once; use
-    # its most recent observation as the reference patch)
-    order = np.argsort(arena.kf_frame_id[ks], kind="stable")[::-1]
+    # deduplicate points (a point observed by several KFs projects once) by
+    # CLOSE-VIEW observation selection: pick the observation whose viewing ray
+    # makes the smallest angle with the current frame's ray to the point, and
+    # drop observations at >= 60 deg — they are unusable as warp/patch
+    # references (Point::getCloseViewObs, src/point.cpp:118-181).
+    R_cw = np.asarray(T_cur_w.rotation, np.float64)
+    t_cw = np.asarray(T_cur_w.translation, np.float64)
+    cur_center_w = -R_cw.T @ t_cw
+    pt_pos = arena.pt_pos[pts]
+    dir_cur = cur_center_w[None] - pt_pos
+    dir_cur /= np.maximum(np.linalg.norm(dir_cur, axis=-1, keepdims=True), 1e-12)
+    kf_R = arena.kf_pose[ks, :3, :3]
+    kf_t = arena.kf_pose[ks, :3, 3]
+    kf_center = -np.einsum("kij,kj->ki", kf_R.transpose(0, 2, 1), kf_t)
+    dir_obs = kf_center - pt_pos
+    dir_obs /= np.maximum(np.linalg.norm(dir_obs, axis=-1, keepdims=True), 1e-12)
+    cos_view = np.sum(dir_cur * dir_obs, axis=-1)
+    usable = cos_view > 0.5  # cos 60°, src/point.cpp:170-176
+    ks, rows, pts, cos_view = ks[usable], rows[usable], pts[usable], cos_view[usable]
+    # best (largest cosine) observation first, so np.unique's first-occurrence
+    # pick is the close-view one
+    order = np.argsort(-cos_view, kind="stable")
     ks, rows, pts = ks[order], rows[order], pts[order]
     _, first = np.unique(pts, return_index=True)
     ks, rows, pts = ks[first], rows[first], pts[first]
@@ -130,21 +148,29 @@ def reproject_map(
     ks_s, rows_s, pts_s, uv_s = ks[sel], rows[sel], pts[sel], uv_proj[sel]
     S = len(sel)
 
-    # --- batched feature alignment (fixed capacity) -------------------------
+    # --- batched feature alignment off the arena's CACHED reference patch
+    # tables (fixed capacity): per-frame device work touches only the current
+    # image — no per-frame keyframe-stack rebuild (the reference re-samples
+    # the host patch per candidate per frame, src/feature_alignment.cpp:64-110)
     cap = max_matches
-    uv_ref = np.zeros((cap, 2))
+    P2 = arena.align_patch_size ** 2
+    dt = cur_gradient.dtype
     uv_init = np.zeros((cap, 2))
-    host_idx = np.zeros(cap, np.int32)
-    valid = np.zeros(cap, bool)
-    uv_ref[:S] = arena.feat_uv[ks_s, rows_s]
+    ref_patch = np.zeros((cap, P2), np.float32)
+    ref_gx = np.zeros((cap, P2), np.float32)
+    ref_gy = np.zeros((cap, P2), np.float32)
+    live = np.zeros(cap, bool)
     uv_init[:S] = uv_s
-    host_idx[:S] = ks_s
-    valid[:S] = True
+    ref_patch[:S] = arena.feat_patch[ks_s, rows_s]
+    ref_gx[:S] = arena.feat_gx[ks_s, rows_s]
+    ref_gy[:S] = arena.feat_gy[ks_s, rows_s]
+    live[:S] = arena.feat_patch_ok[ks_s, rows_s]
 
-    uv_out, err, conv = align_features_2d(
-        kf_gradients, cur_gradient,
-        jnp.asarray(uv_ref), jnp.asarray(uv_init), jnp.asarray(valid),
-        patch_size=patch_size, host_idx=jnp.asarray(host_idx),
+    uv_out, err, conv = align_features_2d_cached(
+        cur_gradient,
+        jnp.asarray(ref_patch, dt), jnp.asarray(ref_gx, dt), jnp.asarray(ref_gy, dt),
+        jnp.asarray(uv_init, dt), jnp.asarray(live),
+        patch_size=patch_size,
     )
     uv_out = np.asarray(uv_out)[:S]
     err = np.asarray(err)[:S]

@@ -200,6 +200,8 @@ class System:
             kf_valid=a.kf_valid, kf_frame_id=a.kf_frame_id, kf_pose=a.kf_pose,
             kf_counter=a.kf_counter,
             feat_uv=a.feat_uv, feat_point=a.feat_point, feat_valid=a.feat_valid,
+            feat_patch=a.feat_patch, feat_gx=a.feat_gx, feat_gy=a.feat_gy,
+            feat_patch_ok=a.feat_patch_ok,
             pt_pos=a.pt_pos, pt_type=a.pt_type, pt_valid=a.pt_valid,
             pt_succeeded=a.pt_succeeded, pt_failed=a.pt_failed,
             trajectory=traj,
@@ -228,6 +230,11 @@ class System:
         a.feat_uv = z["feat_uv"]
         a.feat_point = z["feat_point"]
         a.feat_valid = z["feat_valid"]
+        if "feat_patch" in z.files:
+            a.feat_patch = z["feat_patch"]
+            a.feat_gx = z["feat_gx"]
+            a.feat_gy = z["feat_gy"]
+            a.feat_patch_ok = z["feat_patch_ok"]
         a.pt_pos = z["pt_pos"]
         a.pt_type = z["pt_type"]
         a.pt_valid = z["pt_valid"]
@@ -322,11 +329,17 @@ class System:
 
         # create points + features in both frames
         n = len(res.points_w)
+        ref_T = self.ref_frame.pose_wc
+        ref_center_w = -ref_T[:3, :3].T @ ref_T[:3, 3]
         pt_slots = np.empty(n, np.int64)
         for i in range(n):
-            pt_slots[i] = self.arena.add_point(res.points_w[i], PointType.GOOD)
+            pt_slots[i] = self.arena.add_point(
+                res.points_w[i], PointType.GOOD, observer_center_w=ref_center_w
+            )
         ok = pt_slots >= 0
-        self.arena.add_features(self.ref_frame.kf_slot, res.uv_ref[ok], pt_slots[ok])
+        self._add_features_cached(
+            self.ref_frame.kf_slot, self.ref_frame.pyramid, res.uv_ref[ok], pt_slots[ok]
+        )
         # update ref frame record (its pre-bootstrap features are replaced)
         self.ref_frame.feat_uv = res.uv_ref[ok]
         self.ref_frame.feat_point = pt_slots[ok]
@@ -334,7 +347,7 @@ class System:
         frame.feat_uv = res.uv_cur[ok]
         frame.feat_point = pt_slots[ok]
         frame.kf_slot = self.arena.add_keyframe(frame.frame_id, frame.pose_wc, frame.pyramid)
-        self.arena.add_features(frame.kf_slot, res.uv_cur[ok], pt_slots[ok])
+        self._add_features_cached(frame.kf_slot, frame.pyramid, res.uv_cur[ok], pt_slots[ok])
 
         # redetect fresh features avoiding existing ones (src/system.cpp:252-254)
         self._redetect_and_seed_filters(frame, res.median_depth, 0.5 * res.min_depth)
@@ -403,7 +416,7 @@ class System:
 
         # --- keyframe path --------------------------------------------------
         frame.kf_slot = self.arena.add_keyframe(frame.frame_id, frame.pose_wc, frame.pyramid)
-        self.arena.add_features(frame.kf_slot, frame.feat_uv, frame.feat_point)
+        self._add_features_cached(frame.kf_slot, frame.pyramid, frame.feat_uv, frame.feat_point)
 
         with self.timers.scope("local_ba"):
             self._run_local_ba(frame)
@@ -523,26 +536,37 @@ class System:
 
     def _reproject(self, frame: _FrameRecord):
         cfg = self.config
-        kf_slots = self.arena.keyframe_slots()
-        K = self.arena.max_keyframes
-        H, W = self.height, self.width
-        grads = []
-        for s in range(K):
-            pyr = self.arena.kf_pyramids[s]
-            grads.append(pyr.base_gradient if pyr is not None else jnp.zeros((H, W), self.dtype))
-        kf_grad = jnp.stack(grads)
         T_cur = SE3(
             jnp.asarray(frame.pose_wc[:3, :3], self.dtype),
             jnp.asarray(frame.pose_wc[:3, 3], self.dtype),
         )
         return reproject_map(
-            T_cur, frame.pyramid.base_gradient, kf_grad, self.arena,
+            T_cur, frame.pyramid.base_gradient, self.arena,
             cell_size=cfg.algorithm.cell_pixel_size,
             max_matches=cfg.algorithm.max_reprojection_matches,
             max_error=cfg.algorithm.feature_alignment_max_error,
             patch_size=cfg.algorithm.patch_size_feature_alignment,
             rng=self.np_rng,
         )
+
+    def _patch_tables(self, pyramid, uv: np.ndarray):
+        """Reference patch + gradients on a host gradient image for new
+        observations (cached in the arena; see MapArena.feat_patch)."""
+        from sdvo_tpu.image.interp import bilinear_sample, padded_patch_and_gradients
+
+        P = self.config.algorithm.patch_size_feature_alignment
+        patch, gx, gy, ok = padded_patch_and_gradients(
+            lambda q: bilinear_sample(pyramid.base_gradient, q),
+            jnp.asarray(uv, self.dtype), P,
+        )
+        return (
+            np.asarray(patch, np.float32), np.asarray(gx, np.float32),
+            np.asarray(gy, np.float32), np.asarray(ok),
+        )
+
+    def _add_features_cached(self, slot: int, pyramid, uv: np.ndarray, point_idx: np.ndarray):
+        patch, gx, gy, ok = self._patch_tables(pyramid, uv)
+        return self.arena.add_features(slot, uv, point_idx, patch, gx, gy, ok)
 
     def _refine_pose(self, frame: _FrameRecord, rep):
         pts_w = jnp.asarray(self.arena.pt_pos[rep.pt_slot], self.dtype)
@@ -706,14 +730,29 @@ class System:
         mu = np.asarray(bank.mu)
         uv_ref = np.asarray(bank.uv_ref)
         bearing = np.asarray(bank.bearing_ref)
+        by_slot: Dict[int, List[int]] = {}
         for i in conv_np:
             s = int(kf_slots[i])
-            if not self.arena.kf_valid[s]:
-                continue
-            depth = 1.0 / max(float(mu[i]), 1e-9)
-            p_kf = bearing[i] * depth
+            if self.arena.kf_valid[s]:
+                by_slot.setdefault(s, []).append(int(i))
+        for s, idxs in by_slot.items():
             T_kf = self.arena.kf_pose[s]
-            p_w = T_kf[:3, :3].T @ (p_kf - T_kf[:3, 3])
-            pt = self.arena.add_point(p_w, PointType.CANDIDATE)
-            if pt >= 0:
-                self.arena.add_features(s, uv_ref[i][None], np.asarray([pt]))
+            center = self.arena.camera_center(s)
+            new_pts, new_uvs = [], []
+            for i in idxs:
+                depth = 1.0 / max(float(mu[i]), 1e-9)
+                p_kf = bearing[i] * depth
+                p_w = T_kf[:3, :3].T @ (p_kf - T_kf[:3, 3])
+                pt = self.arena.add_point(p_w, PointType.CANDIDATE, observer_center_w=center)
+                if pt >= 0:
+                    new_pts.append(pt)
+                    new_uvs.append(uv_ref[i])
+            if not new_pts:
+                continue
+            pyr = self.arena.kf_pyramids[s]
+            if pyr is not None:
+                self._add_features_cached(
+                    s, pyr, np.asarray(new_uvs), np.asarray(new_pts, np.int64)
+                )
+            else:
+                self.arena.add_features(s, np.asarray(new_uvs), np.asarray(new_pts, np.int64))
