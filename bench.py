@@ -1,26 +1,31 @@
 #!/usr/bin/env python
-"""Benchmark: per-frame VO tracking throughput on the available accelerator.
+"""Benchmark: full-System VO throughput on the available accelerator.
 
-Measures the device-resident streaming tracker at KITTI geometry (1241×376,
-4-level pyramid, 256 alignment features, 150 reprojection matches, 512 depth
-filters): a chunk of F rendered frames is staged into HBM and one `lax.scan`
-dispatch runs the FULL per-frame step for each —
-  pyramid build → coarse-to-fine sparse alignment → batched feature alignment
-  → depth-filter bank update —
-carrying the pose chain frame-to-frame (sequential dependency preserved, as
-in real VO). Per-frame throughput = F / chunk wall time. This is the
-framework's production shape (sdvo_tpu.pipeline.streaming): the host link
-round-trip is paid once per chunk, not once per frame.
+Measures the PRODUCT path — ``sdvo_tpu.pipeline.device_system.DeviceSystem`` —
+at KITTI geometry (1241×376, 4-level pyramid, 256-feature tables, 150
+reprojection matches, 512 depth filters, keyframe every 3 frames, 7-keyframe
+window): after a host-side two-view bootstrap, chunks of 8 keyframe periods
+(24 frames) run as ONE device dispatch each, and every frame inside executes
+the complete steady-state step — pyramid build, coarse-to-fine sparse
+alignment, device map reprojection + batched feature alignment, pose polish,
+depth-filter bank update — plus, on every third frame, the full keyframe
+program: feature insertion, converged-seed promotion, re-detection, windowed
+Schur bundle adjustment, and sliding-window eviction.  Nothing is mocked:
+the same scanned superstep is what ``DeviceSystem.add_image`` dispatches.
+
+Accuracy is gated, not assumed: the estimated trajectory must match the
+rendered ground truth to centimeter ATE (scale-aligned — monocular scale is
+free) and no frame may fail, so a perf change that trades accuracy fails the
+bench outright.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 vs_baseline: the reference (amin-abouee/semi-direct-visual-odometry) publishes
 no numbers and its C++ stack cannot be built in this image (Eigen3/Sophus/g2o/
-nlohmann_json all absent, zero egress — see BASELINE.md "Measured baseline").
-The baseline is instead MEASURED: tools/ref_proxy_bench.cpp reproduces the
-reference's per-frame op mix (scalar per-feature loops, bilinear interps,
-nth_element MAD, LM solves) single-threaded at identical capacities and
-measures 49.9 fps on this machine (median of 3).
+nlohmann_json absent, zero egress — see BASELINE.md "Measured baseline").  The
+baseline is MEASURED: tools/ref_proxy_bench.cpp reproduces the reference's
+per-frame op mix single-threaded at identical capacities → 49.9 fps on this
+machine (median of 3).
 """
 
 import json
@@ -42,17 +47,14 @@ import jax.numpy as jnp
 REFERENCE_FPS = 49.9  # measured: tools/ref_proxy_bench.cpp (see BASELINE.md)
 
 H, W = 376, 1241
-LEVELS = 4
-N_FEATS = 256
-N_MATCHES = 150
-N_FILTERS = 512
-CHUNK = 32  # frames per device dispatch
+FX = FY = 721.5377
+CX, CY = 609.5593, 172.854
+SUPERSTEPS_PER_CHUNK = 8
+N_CHUNKS_TIMED = 3
 DTYPE = jnp.float32
 
 
-def _np_se3_exp(tau):
-    """Numpy se(3) exp — input construction must not touch the accelerator
-    (eager ops over a tunneled TPU cost seconds each)."""
+def _np_se3(tau):
     from scipy.linalg import expm
 
     up, om = tau[:3], tau[3:]
@@ -62,125 +64,124 @@ def _np_se3_exp(tau):
     return expm(xi)
 
 
-def build_inputs(rng):
-    """Realistic workload: a rendered textured scene with a true camera
-    trajectory, so the LM loops do representative work (random-noise images
-    would let them exit immediately). All construction is numpy; arrays move
-    to device once."""
+def render_sequence(rng, n_frames):
+    """Ridge scene (two depth planes — a single plane would be E-degenerate
+    for the bootstrap) under a bounded forward+lateral trajectory with
+    KITTI-scale per-frame motion (~0.07 m at 10 Hz urban driving)."""
     from types import SimpleNamespace
 
-    from sdvo_tpu.align.image_alignment import AlignFeatures
-    from sdvo_tpu.dataio.synthetic import render_plane, smooth_texture
+    from sdvo_tpu.dataio.synthetic import render_ridge, smooth_texture
 
-    fx = fy = 721.5377
-    cx, cy = 609.5593, 172.854
     tex = smooth_texture(rng, size=4096, blur=13)
-    plane_z = 15.0
-    # bounded oscillating trajectory: per-frame motion ~0.07 m (KITTI 10 Hz
-    # urban scale) while the baseline to the reference keyframe stays within
-    # a realistic inter-keyframe window (the reference re-keyframes every 3
-    # frames, src/system.cpp:505-510 — a monotone 32-frame run against one
-    # fixed keyframe would be an unrealistic workload and diverges)
-    amp = np.asarray([0.35, 0.035, 0.22, 0.002, 0.006, 0.0015])
-
-    cam = SimpleNamespace(fx=fx, fy=fy, cx=cx, cy=cy, width=W, height=H)
+    cam = SimpleNamespace(fx=FX, fy=FY, cx=CX, cy=CY, width=W, height=H)
 
     class _NpPose:
         def __init__(self, T):
             self.rotation = T[:3, :3]
             self.translation = T[:3, 3]
 
-    img_ref = render_plane(tex, cam, _NpPose(np.eye(4)), plane_z, supersample=1)
     frames, T_true = [], []
-    for i in range(1, CHUNK + 1):
-        T44 = _np_se3_exp(amp * np.sin(2.0 * np.pi * i / CHUNK))
+    for i in range(n_frames):
+        # frame 1 takes a deliberate lateral baseline so two-view bootstrap
+        # has ≥8 px median disparity; afterwards a bounded oscillation
+        lat = 0.15 if i == 1 else 0.30 * np.sin(2.0 * np.pi * i / 36.0)
+        tau = np.asarray([
+            lat, 0.03 * np.sin(4.0 * np.pi * i / 36.0), 0.18 * np.sin(2.0 * np.pi * i / 48.0),
+            0.002 * np.sin(2.0 * np.pi * i / 36.0), 0.005 * np.sin(2.0 * np.pi * i / 30.0), 0.0,
+        ])
+        T44 = _np_se3(tau)
         T_true.append(T44)
-        frames.append(render_plane(tex, cam, _NpPose(T44), plane_z, supersample=1))
-    images = jnp.asarray(np.stack(frames), DTYPE)
-
-    uv = rng.uniform(30, [W - 30, H - 30], (N_FEATS, 2))
-    x = (uv[:, 0] - cx) / fx
-    y = (uv[:, 1] - cy) / fy
-    b = np.stack([x, y, np.ones_like(x)], axis=-1)
-    pts = b * plane_z
-    feats = AlignFeatures(
-        uv_host=jnp.asarray(uv, DTYPE),
-        host_idx=jnp.zeros((N_FEATS,), jnp.int32),
-        points_ref=jnp.asarray(pts, DTYPE),
-        valid=jnp.ones((N_FEATS,), bool),
-    )
-    img_ref = jnp.asarray(img_ref, DTYPE)
-    return img_ref, images, T_true, feats, (fx, fy, cx, cy)
+        frames.append(
+            render_ridge(tex, cam, _NpPose(T44), z_near=12.0, z_far=18.0,
+                         split_x=-1.5, supersample=1)
+        )
+    return frames, T_true
 
 
 def main():
-    from sdvo_tpu.align.image_alignment import SparseImageAlign
-    from sdvo_tpu.depth.filter import FilterBank
-    from sdvo_tpu.geometry.se3 import SE3
-    from sdvo_tpu.image.pyramid import build_pyramid
-    from sdvo_tpu.pipeline.streaming import StreamingTracker
+    from sdvo_tpu.config import load_config
+    from sdvo_tpu.dataio.evaluate import ate_rmse
+    from sdvo_tpu.pipeline.device_system import DeviceSystem
 
     rng = np.random.default_rng(0)
-    img_ref, images, T_true, feats, (fx, fy, cx, cy) = build_inputs(rng)
+    per = 3  # keyframe_every_n
+    n_steady = (1 + N_CHUNKS_TIMED) * SUPERSTEPS_PER_CHUNK * per
+    frames, T_true = render_sequence(rng, 2 + n_steady)
 
-    ref_pyr = jax.block_until_ready(jax.jit(lambda im: build_pyramid(im, LEVELS))(img_ref))
-    host_pyr = tuple(r[None] for r in ref_pyr.images)
+    # the smooth synthetic texture has softer gradients than real KITTI edges
+    # — lower the detection threshold accordingly (the reference's 50 is tuned
+    # for natural images); everything else runs at reference defaults
+    config = load_config(overrides={
+        "initialization": {"disparity_threshold": 3, "threshold_gradient_magnitude": 20},
+    })
+    ds = DeviceSystem(config, supersteps_per_chunk=SUPERSTEPS_PER_CHUNK)
 
-    filters = FilterBank.empty(N_FILTERS, 49, DTYPE)
-    filters = filters._replace(
-        uv_ref=jnp.asarray(rng.uniform(30, [W - 30, H - 30], (N_FILTERS, 2)), DTYPE),
-        mu=jnp.asarray(rng.uniform(0.05, 0.3, N_FILTERS), DTYPE),
-        var=jnp.full((N_FILTERS,), 0.01, DTYPE),
-        max_inv_depth=jnp.full((N_FILTERS,), 0.5, DTYPE),
-        valid=jnp.ones((N_FILTERS,), bool),
+    # host bootstrap (once per sequence)
+    ds.add_image(frames[0].astype(np.float32), 0.0)
+    ds.add_image(frames[1].astype(np.float32), 1.0)
+    assert ds.bootstrapped, "two-view bootstrap failed — bench scene broken"
+
+    # stage steady-state chunks into device memory (production IO is async
+    # double-buffered host→HBM staging; the tunneled link here is not the
+    # product's PCIe path, so staging is excluded from the timed region)
+    chunk_frames = SUPERSTEPS_PER_CHUNK * per
+    chunks = []
+    for c in range(1 + N_CHUNKS_TIMED):
+        arr = np.stack(frames[2 + c * chunk_frames : 2 + (c + 1) * chunk_frames])
+        chunks.append(
+            jax.device_put(jnp.asarray(arr.reshape(SUPERSTEPS_PER_CHUNK, per, H, W), DTYPE))
+        )
+    jax.block_until_ready(chunks)
+
+    fn = ds.vo.chunk_fn(SUPERSTEPS_PER_CHUNK)
+    all_outs = []
+
+    # warmup chunk: compile + first dispatch
+    ds.state, outs = fn(ds.state, chunks[0])
+    all_outs.append(jax.device_get(outs))
+
+    # timed region: the product loop — dispatch chunk, sync, read results
+    t0 = time.perf_counter()
+    for ch in chunks[1:]:
+        ds.state, outs = fn(ds.state, ch)
+        all_outs.append(jax.device_get(outs))
+    elapsed = time.perf_counter() - t0
+    fps = (N_CHUNKS_TIMED * chunk_frames) / elapsed
+
+    # ---- accuracy gates (fail loudly rather than bench a broken tracker) ---
+    est, gt = [], []
+    frame_i = 2
+    oks, n_kf = [], 0
+    for outs in all_outs:
+        Cc, Pp = outs.ok.shape
+        for c in range(Cc):
+            for p in range(Pp):
+                oks.append(bool(outs.ok[c, p]))
+                n_kf += int(outs.is_kf[c, p])
+                T = np.eye(4)
+                T[:3, :3] = outs.R[c, p]
+                T[:3, 3] = outs.t[c, p]
+                est.append(-T[:3, :3].T @ T[:3, 3])
+                Tg = T_true[frame_i]
+                gt.append(-Tg[:3, :3].T @ Tg[:3, 3])
+                frame_i += 1
+    assert all(oks), f"tracking failed on {oks.count(False)} frames"
+    assert n_kf == (1 + N_CHUNKS_TIMED) * SUPERSTEPS_PER_CHUNK, "keyframe cadence broken"
+    ate = ate_rmse(np.asarray(est), np.asarray(gt), with_scale=True)
+    gt_arr = np.asarray(gt)
+    path_len = float(np.sum(np.linalg.norm(np.diff(gt_arr, axis=0), axis=-1)))
+    drift = ate / max(path_len, 1e-9)
+    # monocular VO without loop closure drifts ~0.5-1% of path; gate at 1.5%
+    # so perf changes cannot silently trade accuracy (plus an absolute floor)
+    assert drift < 0.015 and ate < 0.10, (
+        f"trajectory ATE {ate:.4f} m over {path_len:.2f} m path "
+        f"({100*drift:.2f}% drift) — accuracy gate failed"
     )
-    b = np.stack(
-        [
-            (np.asarray(filters.uv_ref[:, 0]) - cx) / fx,
-            (np.asarray(filters.uv_ref[:, 1]) - cy) / fy,
-            np.ones(N_FILTERS),
-        ],
-        axis=-1,
-    )
-    b /= np.linalg.norm(b, axis=-1, keepdims=True)
-    filters = filters._replace(bearing_ref=jnp.asarray(b, DTYPE))
-
-    aligner = SparseImageAlign(patch_size=5, min_level=0, max_level=3)
-    tracker = StreamingTracker(aligner, levels=LEVELS)
-
-    args = (
-        images, host_pyr, ref_pyr.base_gradient, feats,
-        feats.uv_host[:N_MATCHES], jnp.ones((N_MATCHES,), bool),
-        SE3.identity(dtype=DTYPE), SE3.identity(dtype=DTYPE),
-        filters, fx, fy, cx, cy, 1,
-    )
-
-    # warmup / compile
-    carry, outs = tracker.track_chunk(*args)
-    jax.block_until_ready(outs)
-
-    # sanity: the tracker must actually follow the rendered trajectory
-    t_est = np.asarray(outs.translations[-1])
-    t_gt = T_true[-1][:3, 3]
-    err = float(np.linalg.norm(t_est - t_gt))
-    assert err < 0.1, f"final-frame translation error {err} m — bench workload broken"
-    assert float(np.max(np.asarray(outs.rmse))) < 40.0, "alignment diverged"
-
-    # synchronous chunk timing: one dispatch tracks CHUNK frames in sequence
-    n_rep = 20
-    times = []
-    for _ in range(n_rep):
-        t0 = time.perf_counter()
-        carry, outs = tracker.track_chunk(*args)
-        jax.block_until_ready(outs)
-        times.append(time.perf_counter() - t0)
-    dt = float(np.median(times)) / CHUNK
-    fps = 1.0 / dt
 
     print(
         json.dumps(
             {
-                "metric": "kitti_frame_tracking_throughput",
+                "metric": "kitti_full_system_throughput",
                 "value": round(fps, 2),
                 "unit": "frames/sec/chip",
                 "vs_baseline": round(fps / REFERENCE_FPS, 2),

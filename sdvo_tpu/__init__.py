@@ -19,4 +19,15 @@ on the MXU/VPU.
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# Geometry correctness over matmul throughput: XLA:TPU's default f32 dot
+# precision decomposes operands into bfloat16 passes, which at scene scale
+# (~15 m) injects centimeter-level rounding into every pose application /
+# Hessian assembly and measurably inflates trajectory drift (observed 5× ATE
+# on TPU vs CPU). This framework's matmuls are tiny 3×3/6×6/interp
+# contractions — full-f32 MXU passes cost nothing at these shapes. Kernels
+# that can tolerate reduced precision opt back in explicitly.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from sdvo_tpu.config import Config, load_config  # noqa: F401

@@ -131,35 +131,38 @@ def align_features_2d_cached(
     live: jax.Array,  # (N,) bool — feature valid AND its ref patch usable
     patch_size: int = 5,
     max_iterations: int = 10,
+    window: int = 24,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """:func:`align_features_2d` with PRECOMPUTED reference patch tables.
 
     An observation's position in its host keyframe never moves, so the map
     arena extracts each observation's patch + gradients once at creation and
-    feature alignment consumes those tables — per-frame work then touches only
-    the CURRENT image (one shifted stack), independent of how many keyframes
-    host the candidates.
+    feature alignment consumes those tables.  Per-frame device work touches
+    only one ``window×window`` region of the current image per candidate
+    (sdvo_tpu.ops.window_sampler): candidates that wander outside their window
+    (≥ ~7 px from the prediction) go invisible — the same features the moved-
+    too-far convergence gate (patch·2 px) would reject anyway.
     """
     half = patch_size // 2
-    border = half + 2
     H, W = cur_gradient.shape
     dtype = uv_init.dtype
 
-    from sdvo_tpu.image.stack import build_patch_stack, sample_patches
+    from sdvo_tpu.ops.window_sampler import (
+        extract_windows, sample_windows, window_origins,
+    )
 
-    cur_stack = build_patch_stack(cur_gradient, patch_size)
+    org, org_ok = window_origins(uv_init, window, W, H)
+    win = extract_windows(cur_gradient, org, window)
+    org_f = org.astype(dtype)
+    live = live & org_ok
     ones = jnp.ones_like(gx)
     J = jnp.stack([gx, gy, ones], axis=-1)  # (N, P², 3)
 
     def residuals(params):
-        cur_vals, _ = sample_patches(cur_stack, params[:, :2])  # (N, P²)
+        cur_vals, ok_s = sample_windows(win, params[:, :2] - org_f, patch_size)
         # r = -(cur - ref + offset)  (src/feature_alignment.cpp:155)
         r = -(cur_vals - ref_patch + params[:, None, 2])
-        inside = (
-            (params[:, 0] >= border) & (params[:, 1] >= border)
-            & (params[:, 0] < W - border) & (params[:, 1] < H - border)
-        )
-        vis = live & inside
+        vis = live & ok_s
         visp = jnp.broadcast_to(vis[:, None], r.shape)
         return jnp.where(visp, r, 0.0), visp
 
@@ -167,7 +170,7 @@ def align_features_2d_cached(
     # constant brightness change is absorbed immediately instead of being
     # Tukey-rejected as "all pixels are outliers" (the reference starts at 0,
     # src/feature_alignment.cpp:41-44, and simply fails on such patches)
-    cur0, cur0_ok = sample_patches(cur_stack, uv_init)
+    cur0, cur0_ok = sample_windows(win, uv_init - org_f, patch_size)
     cur0_ok = jnp.broadcast_to(cur0_ok[:, None], cur0.shape)
     diff0 = jnp.where(cur0_ok, cur0 - ref_patch, 0.0)
     cnt0 = jnp.maximum(jnp.sum(cur0_ok, axis=-1), 1)
@@ -241,5 +244,14 @@ def align_features_2d_cached(
     n_vis = jnp.maximum(jnp.sum(vis_f, axis=-1), 1)
     rmse = jnp.sqrt(jnp.sum(r_f * r_f, axis=-1) / n_vis)
     moved = jnp.linalg.norm(final.params[:, :2] - uv_init, axis=-1)
-    converged = live & (moved < patch_size * 2.0)
+    # contrast gate: a (near-)flat current patch cannot localize anything —
+    # without it a textureless frame "matches" every candidate because the
+    # illumination offset absorbs the constant difference (the reference
+    # avoids this only by accident: it starts the offset at 0 and the full
+    # patch magnitude then exceeds the error threshold)
+    cur_f, _ = sample_windows(win, final.params[:, :2] - org_f, patch_size)
+    mean_c = jnp.sum(jnp.where(vis_f, cur_f, 0.0), axis=-1) / n_vis
+    var_c = jnp.sum(jnp.where(vis_f, (cur_f - mean_c[:, None]) ** 2, 0.0), axis=-1) / n_vis
+    has_contrast = var_c > 1.0  # one intensity level of structure
+    converged = live & (moved < patch_size * 2.0) & has_contrast
     return final.params[:, :2], rmse, converged

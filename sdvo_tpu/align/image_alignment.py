@@ -83,8 +83,19 @@ class SparseImageAlign:
         max_level: int = 3,
         settings: LMSettings = DEFAULT_SETTINGS,
         use_esm: bool = True,
+        use_windows: bool = True,
+        window: int = 16,
     ):
+        # use_windows: per-feature 16×16 windows + separable-interp sampling
+        # (sdvo_tpu.ops.window_sampler) — no full-image shifted stacks, no
+        # per-iteration gathers. The LM motion budget inside one level is a
+        # few pixels (coarse-to-fine seeds each level near its optimum), so a
+        # window with ~4 px of slack loses nothing; features pushed outside
+        # their window are masked for that level, like the reference's border
+        # visibility test (src/image_alignment.cpp:145-149).
         self.use_esm = bool(use_esm)
+        self.use_windows = bool(use_windows)
+        self.window = int(window)
         self.patch_size = int(patch_size)
         self.half_patch = self.patch_size // 2
         self.patch_area = self.patch_size * self.patch_size
@@ -176,6 +187,108 @@ class SparseImageAlign:
         r = jnp.where(vis[:, None], r, 0.0)
         return r.reshape(-1), jnp.broadcast_to(vis[:, None], r.shape).reshape(-1)
 
+    # -- geometric jacobian rows (shared by both backends) -------------------
+    def _jac_rows(self, feats: AlignFeatures, fx, fy, level: int):
+        scale = 1.0 / (1 << level)
+        p = feats.points_ref
+        x, y, z = p[..., 0], p[..., 1], p[..., 2]
+        z_safe = jnp.where(jnp.abs(z) < 1e-9, 1.0, z)
+        iz = 1.0 / z_safe
+        iz2 = iz * iz
+        fxs = fx * scale
+        fys = fy * scale
+        row_u = jnp.stack(
+            [fxs * iz, jnp.zeros_like(x), -fxs * x * iz2, -fxs * x * y * iz2, fxs * (1.0 + x * x * iz2), -fxs * y * iz],
+            axis=-1,
+        )
+        row_v = jnp.stack(
+            [jnp.zeros_like(x), fys * iz, -fys * y * iz2, -fys * (1.0 + y * y * iz2), fys * x * y * iz2, fys * x * iz],
+            axis=-1,
+        )
+        return row_u, row_v
+
+    # -- window-backend coarse-to-fine alignment ----------------------------
+    def _align_impl_windows(
+        self,
+        T_init: SE3,
+        host_pyramid: Tuple[jax.Array, ...],  # per level: (n_hosts, H_l, W_l)
+        cur_pyramid: Tuple[jax.Array, ...],  # per level: (H_l, W_l)
+        feats: AlignFeatures,
+        fx: jax.Array,
+        fy: jax.Array,
+        cx: jax.Array,
+        cy: jax.Array,
+    ):
+        from sdvo_tpu.ops.window_sampler import (
+            extract_windows, sample_windows, sample_windows_grad, window_origins,
+        )
+
+        WIN = self.window
+        P = self.patch_size
+        N = feats.uv_host.shape[0]
+        dtype = feats.points_ref.dtype
+        T = T_init
+        rmse = jnp.asarray(0.0, dtype)
+        status = jnp.asarray(0, jnp.int32)
+        for level in range(self.max_level, self.min_level - 1, -1):
+            scale = 1.0 / (1 << level)
+            H, W = cur_pyramid[level].shape
+            # reference patches + gradients from per-host windows (this block
+            # depends only on the host pyramid and feature set — inside a
+            # frame scan XLA hoists it out of the loop)
+            uv_ref_l = feats.uv_host * scale
+            org_r, ok_or = window_origins(uv_ref_l, WIN, W, H)
+            win_h = jnp.stack(
+                [extract_windows(im, org_r, WIN) for im in host_pyramid[level]]
+            )  # (n_hosts, N, WIN, WIN)
+            win_ref = win_h[feats.host_idx, jnp.arange(N)]
+            offs_r = uv_ref_l - org_r.astype(dtype)
+            patches, gx_r, gy_r, ok_r = sample_windows_grad(win_ref, offs_r, P)
+            visible = feats.valid & ok_or & ok_r
+
+            row_u, row_v = self._jac_rows(feats, fx, fy, level)
+
+            # current-image windows at the level's initial projection
+            uv0 = self._project_level(T, feats, fx, fy, cx, cy, level)
+            org_c, ok_oc = window_origins(uv0, WIN, W, H)
+            win_cur = extract_windows(cur_pyramid[level], org_c, WIN)
+            visible = visible & ok_oc
+            patches = jnp.where(visible[:, None], patches, 0.0)
+
+            if self.use_esm:
+                offs0 = uv0 - org_c.astype(dtype)
+                _, gcx, gcy, _ = sample_windows_grad(win_cur, offs0, P)
+                gx = 0.5 * (gx_r + gcx)
+                gy = 0.5 * (gy_r + gcy)
+            else:
+                gx, gy = gx_r, gy_r
+            J = gx[..., None] * row_u[:, None, :] + gy[..., None] * row_v[:, None, :]
+            J = jnp.where(visible[:, None, None], J, 0.0).reshape(-1, 6)
+
+            org_cf = org_c.astype(dtype)
+
+            def residual_fn(T_, _lvl=level, _patches=patches, _visible=visible,
+                            _win=win_cur, _org=org_cf):
+                p_cur = T_.apply(feats.points_ref)
+                z = jnp.where(p_cur[..., 2] < 1e-6, 1.0, p_cur[..., 2])
+                scale_ = 1.0 / (1 << _lvl)
+                u = (fx * p_cur[..., 0] / z + cx) * scale_
+                v = (fy * p_cur[..., 1] / z + cy) * scale_
+                offs = jnp.stack([u, v], axis=-1) - _org
+                vals, ok_s = sample_windows(_win, offs, P)
+                vis = _visible & ok_s & (p_cur[..., 2] > 1e-6)
+                r = jnp.where(vis[:, None], vals - _patches, 0.0)
+                return r.reshape(-1), jnp.broadcast_to(vis[:, None], r.shape).reshape(-1)
+
+            def jacobian_fn(T_, _J=J):
+                return _J
+
+            def update_fn(T_, dx):
+                return T_.compose(se3.exp(-dx))
+
+            T, rmse, status = optimize_lm(T, residual_fn, jacobian_fn, update_fn, self.settings)
+        return T, rmse, status
+
     # -- full coarse-to-fine alignment --------------------------------------
     def _align_impl(
         self,
@@ -188,6 +301,10 @@ class SparseImageAlign:
         cx: jax.Array,
         cy: jax.Array,
     ):
+        if self.use_windows:
+            return self._align_impl_windows(
+                T_init, host_pyramid, cur_pyramid, feats, fx, fy, cx, cy
+            )
         from sdvo_tpu.image.stack import build_patch_stack, sample_patches_grad
 
         T = T_init

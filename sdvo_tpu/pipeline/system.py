@@ -86,6 +86,14 @@ class System:
                 721.5377, 721.5377, 609.5593, 172.854,
                 config.camera.img_width, config.camera.img_height, dtype=dtype,
             )
+        else:
+            # normalize to the compute dtype — a float64 camera would promote
+            # every kernel touching intrinsics and break f32 jit carries
+            camera = PinholeCamera(
+                jnp.asarray(camera.fx, dtype), jnp.asarray(camera.fy, dtype),
+                jnp.asarray(camera.cx, dtype), jnp.asarray(camera.cy, dtype),
+                jnp.asarray(camera.dist, dtype), camera.width, camera.height,
+            )
         self.camera = camera
         self.width = camera.width
         self.height = camera.height
@@ -442,14 +450,25 @@ class System:
         if self.ref_frame is None:
             return FrameResult.FAILED
         center = -self.ref_frame.pose_wc[:3, :3].T @ self.ref_frame.pose_wc[:3, 3]
-        slot = self.arena.closest_keyframe(center)
+        # nearest keyframe that is actually usable (enough live observations
+        # and imagery) — the reference stub only ever tries the single closest
+        # (src/system.cpp:448-457), which deadlocks when that keyframe happens
+        # to be feature-poor
+        slots = self.arena.keyframe_slots()
+        if len(slots) == 0:
+            return FrameResult.FAILED
+        centers = np.stack([self.arena.camera_center(s) for s in slots])
+        order = np.argsort(np.linalg.norm(centers - center[None], axis=-1))
+        slot, rows = None, None
+        for s in slots[order]:
+            r = np.nonzero(self.arena.feat_valid[s] & (self.arena.feat_point[s] >= 0))[0]
+            if len(r) >= 20 and self.arena.kf_pyramids[s] is not None:
+                slot, rows = int(s), r
+                break
         if slot is None:
             return FrameResult.FAILED
         kf_pose = self.arena.kf_pose[slot]
         kf_pyr = self.arena.kf_pyramids[slot]
-        rows = np.nonzero(self.arena.feat_valid[slot] & (self.arena.feat_point[slot] >= 0))[0]
-        if len(rows) < 20 or kf_pyr is None:
-            return FrameResult.FAILED
         kf_rec = _FrameRecord(int(self.arena.kf_frame_id[slot]), 0.0, kf_pyr, kf_pose)
         kf_rec.feat_uv = self.arena.feat_uv[slot, rows]
         kf_rec.feat_point = self.arena.feat_point[slot, rows]
