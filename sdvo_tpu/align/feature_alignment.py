@@ -147,13 +147,9 @@ def align_features_2d_cached(
     H, W = cur_gradient.shape
     dtype = uv_init.dtype
 
-    from sdvo_tpu.ops.window_sampler import (
-        extract_windows, sample_windows, window_origins,
-    )
+    from sdvo_tpu.ops.window_sampler import sample_windows, window_gather
 
-    org, org_ok = window_origins(uv_init, window, W, H)
-    win = extract_windows(cur_gradient, org, window)
-    org_f = org.astype(dtype)
+    win, org_f, org_ok = window_gather(cur_gradient, uv_init, window)
     live = live & org_ok
     ones = jnp.ones_like(gx)
     J = jnp.stack([gx, gy, ones], axis=-1)  # (N, P², 3)

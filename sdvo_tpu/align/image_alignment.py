@@ -71,10 +71,12 @@ class SparseImageAlign:
     per (image shape, capacity) combination.
     """
 
-    # hot-path defaults: histogram MAD (no device sorts in the LM loop) and
-    # relative-decrease early exit — identical trajectories to the exact
-    # settings within float tolerance, at a fraction of the device time
-    DEFAULT_SETTINGS = LMSettings(mad="hist", min_rel_decrease=1e-3)
+    # hot-path defaults: histogram MAD (no device sorts), relative-decrease
+    # early exit, 12-iteration cap. freeze_sigma stays OFF: the robust scale
+    # must adapt as the estimate improves — frozen at a weak initial pose it
+    # Tukey-rejects exactly the informative residuals (measured: 0.25 m
+    # convergence failure on the no-prior alignment test)
+    DEFAULT_SETTINGS = LMSettings(mad="hist", min_rel_decrease=1e-3, max_iterations=12)
 
     def __init__(
         self,
@@ -220,7 +222,7 @@ class SparseImageAlign:
         cy: jax.Array,
     ):
         from sdvo_tpu.ops.window_sampler import (
-            extract_windows, sample_windows, sample_windows_grad, window_origins,
+            sample_windows, sample_windows_grad, window_gather,
         )
 
         WIN = self.window
@@ -237,12 +239,13 @@ class SparseImageAlign:
             # depends only on the host pyramid and feature set — inside a
             # frame scan XLA hoists it out of the loop)
             uv_ref_l = feats.uv_host * scale
-            org_r, ok_or = window_origins(uv_ref_l, WIN, W, H)
-            win_h = jnp.stack(
-                [extract_windows(im, org_r, WIN) for im in host_pyramid[level]]
-            )  # (n_hosts, N, WIN, WIN)
-            win_ref = win_h[feats.host_idx, jnp.arange(N)]
-            offs_r = uv_ref_l - org_r.astype(dtype)
+            refs = [window_gather(im, uv_ref_l, WIN) for im in host_pyramid[level]]
+            win_h = jnp.stack([r[0] for r in refs])  # (n_hosts, N, WIN, 2·blk)
+            org_h = jnp.stack([r[1] for r in refs])
+            ok_or = refs[0][2]
+            sel = (feats.host_idx, jnp.arange(N))
+            win_ref = win_h[sel]
+            offs_r = uv_ref_l - org_h[sel]
             patches, gx_r, gy_r, ok_r = sample_windows_grad(win_ref, offs_r, P)
             visible = feats.valid & ok_or & ok_r
 
@@ -250,13 +253,12 @@ class SparseImageAlign:
 
             # current-image windows at the level's initial projection
             uv0 = self._project_level(T, feats, fx, fy, cx, cy, level)
-            org_c, ok_oc = window_origins(uv0, WIN, W, H)
-            win_cur = extract_windows(cur_pyramid[level], org_c, WIN)
+            win_cur, org_c, ok_oc = window_gather(cur_pyramid[level], uv0, WIN)
             visible = visible & ok_oc
             patches = jnp.where(visible[:, None], patches, 0.0)
 
             if self.use_esm:
-                offs0 = uv0 - org_c.astype(dtype)
+                offs0 = uv0 - org_c
                 _, gcx, gcy, _ = sample_windows_grad(win_cur, offs0, P)
                 gx = 0.5 * (gx_r + gcx)
                 gy = 0.5 * (gy_r + gcy)
@@ -265,7 +267,7 @@ class SparseImageAlign:
             J = gx[..., None] * row_u[:, None, :] + gy[..., None] * row_v[:, None, :]
             J = jnp.where(visible[:, None, None], J, 0.0).reshape(-1, 6)
 
-            org_cf = org_c.astype(dtype)
+            org_cf = org_c
 
             def residual_fn(T_, _lvl=level, _patches=patches, _visible=visible,
                             _win=win_cur, _org=org_cf):

@@ -144,6 +144,10 @@ def find_essential_ransac(
     # weighted sampling without replacement is overkill; sample indices among
     # valid by gumbel-top-k on masked uniforms so all hypotheses draw valid pts
     S = num_hypotheses
+    # minimal-sample gate: with < 8 valid correspondences top_k would silently
+    # include invalid indices and "solve" on garbage — return count 0 so the
+    # caller's min_inliers gate rejects the frame deterministically
+    enough = jnp.sum(mask.astype(jnp.int32)) >= 8
     g = jax.random.uniform(key, (S, N), dtype=x_ref.dtype)
     g = jnp.where(mask[None, :], g, -1.0)
     _, idx = jax.lax.top_k(g, 8)  # (S, 8) distinct valid indices
@@ -185,4 +189,6 @@ def find_essential_ransac(
     (_, E_final, inl_final, count_final), _ = jax.lax.scan(
         polish_step, (inliers, E_best, inliers, count_best), None, length=6
     )
+    inl_final = inl_final & enough
+    count_final = jnp.where(enough, count_final, 0)
     return E_final, inl_final, count_final

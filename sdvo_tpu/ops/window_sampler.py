@@ -55,12 +55,72 @@ def window_origins(uv: jax.Array, win: int, width, height) -> Tuple[jax.Array, j
     return jnp.stack([ox, oy], axis=-1), ok
 
 
+def window_gather(
+    image: jax.Array,  # (H, W)
+    uv: jax.Array,  # (N, 2) sub-pixel centers
+    win_h: int = 16,
+    block: int = 16,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Block-aligned window extraction via contiguous row gathers.
+
+    A vmapped ``dynamic_slice`` lowers to an element-granularity XLA gather
+    (~30 ns/element on TPU — measured ~2.4 ms/frame for 512×16×16 windows).
+    Aligning window columns to ``block``-float boundaries turns extraction
+    into the row-gather pattern the shifted-stack sampler already proved fast:
+    reshape the (width-padded) image into (H·W/block, block) rows and ``take``
+    two adjacent blocks per window row — every fetched row is a contiguous
+    64-byte line.
+
+    Returns (windows (N, win_h, 2·block), origin (N, 2) float — the window's
+    (x, y) pixel origin, ok (N,) — uv's patch support inside the image).
+    The horizontal center sits in [block/2, 3·block/2) of the window, so the
+    usable motion slack is ±(block/2 − patch support).
+    """
+    H, W = image.shape
+    nb = -(-W // block)  # ceil
+    Wp = nb * block
+    img_p = jnp.pad(image, ((0, 0), (0, Wp - W))) if Wp != W else image
+    rows2d = img_p.reshape(H * nb, block)
+
+    half = win_h // 2
+    oy = jnp.clip(jnp.floor(uv[..., 1]).astype(jnp.int32) - half, 0, H - win_h)
+    bx = jnp.clip(
+        (jnp.floor(uv[..., 0]).astype(jnp.int32) - block // 2) // block, 0, nb - 2
+    )
+    h = jnp.arange(win_h, dtype=jnp.int32)
+    row_idx = (oy[:, None] + h[None, :]) * nb + bx[:, None]  # (N, win_h)
+    idx = jnp.stack([row_idx, row_idx + 1], axis=-1)  # (N, win_h, 2)
+    rows = jnp.take(rows2d, idx.reshape(-1), axis=0, mode="clip")
+    windows = rows.reshape(uv.shape[0], win_h, 2 * block)
+    origin = jnp.stack([(bx * block).astype(uv.dtype), oy.astype(uv.dtype)], axis=-1)
+    ok = (
+        (uv[..., 0] >= block // 2) & (uv[..., 0] < W - block // 2)
+        & (uv[..., 1] >= half) & (uv[..., 1] < H - half)
+    )
+    return windows, origin, ok
+
+
 def _tri_weights(center: jax.Array, patch: int, win: int, dtype) -> jax.Array:
     """(N, patch, win) linear-interp weights: w[n,p,h] = tri(center[n]+p−h)."""
     p = jnp.arange(patch, dtype=dtype)[None, :, None]
     h = jnp.arange(win, dtype=dtype)[None, None, :]
     d = center[:, None, None] + p - h
     return jnp.maximum(0.0, 1.0 - jnp.abs(d))
+
+
+def _contract_h(V: jax.Array, windows: jax.Array) -> jax.Array:
+    """(N,P,WH)×(N,WH,WW) → (N,P,WW), contracting the window-row axis.
+
+    Written as broadcast-multiply + reduce, NOT einsum/dot: a batched (P×WH)
+    @ (WH×WW) einsum lowers to N separate padded MXU matmuls (tile 128), which
+    at N≈512 batches of 5×16 operands costs milliseconds; the reduce fusion
+    runs on the VPU at full rate."""
+    return jnp.sum(V[:, :, :, None] * windows[:, None, :, :], axis=2)
+
+
+def _contract_w(tmp: jax.Array, V: jax.Array) -> jax.Array:
+    """(N,P,WW)×(N,Q,WW) → (N,P,Q), contracting the window-column axis."""
+    return jnp.sum(tmp[:, :, None, :] * V[:, None, :, :], axis=3)
 
 
 def sample_windows(
@@ -77,8 +137,8 @@ def sample_windows(
     x0 = offs[..., 0] - half
     Vy = _tri_weights(y0, patch, WH, dtype)  # (N, P, WH)
     Vx = _tri_weights(x0, patch, WW, dtype)  # (N, P, WW)
-    tmp = jnp.einsum("nph,nhw->npw", Vy, windows)
-    out = jnp.einsum("npw,nqw->npq", tmp, Vx)
+    tmp = _contract_h(Vy, windows)
+    out = _contract_w(tmp, Vx)
     ok = (x0 >= 1) & (y0 >= 1) & (x0 + patch <= WW - 1) & (y0 + patch <= WH - 1)
     return out.reshape(N, patch * patch), ok
 
@@ -102,11 +162,11 @@ def sample_windows_grad(
     Vy_m = _tri_weights(y0 - 1.0, patch, WH, dtype)
     Vx_p = _tri_weights(x0 + 1.0, patch, WW, dtype)
     Vx_m = _tri_weights(x0 - 1.0, patch, WW, dtype)
-    tmp = jnp.einsum("nph,nhw->npw", Vy, windows)
-    val = jnp.einsum("npw,nqw->npq", tmp, Vx)
-    gx = 0.5 * jnp.einsum("npw,nqw->npq", tmp, Vx_p - Vx_m)
-    tmp_y = jnp.einsum("nph,nhw->npw", Vy_p - Vy_m, windows)
-    gy = 0.5 * jnp.einsum("npw,nqw->npq", tmp_y, Vx)
+    tmp = _contract_h(Vy, windows)
+    val = _contract_w(tmp, Vx)
+    gx = 0.5 * _contract_w(tmp, Vx_p - Vx_m)
+    tmp_y = _contract_h(Vy_p - Vy_m, windows)
+    gy = 0.5 * _contract_w(tmp_y, Vx)
     ok = (x0 >= 2) & (y0 >= 2) & (x0 + patch <= WW - 2) & (y0 + patch <= WH - 2)
     P2 = patch * patch
     return val.reshape(N, P2), gx.reshape(N, P2), gy.reshape(N, P2), ok

@@ -69,13 +69,22 @@ class LMSettings(NamedTuple):
     # stop after an ACCEPTED step whose relative chi² decrease is below this
     # (0 disables — full reference behavior of running to max_iterations)
     min_rel_decrease: float = 0.0
+    # compute the robust scale (MAD) ONCE from the initial residuals and keep
+    # the Tukey cutoff fixed across the LM iterations of one solve. The scale
+    # changes by a few percent within a level while the histogram MAD costs
+    # several kernels per iteration; the reference recomputes per iteration
+    # (src/optimizer.cpp:485-514) — the default keeps that behavior.
+    freeze_sigma: bool = False
 
 
-def tukey_weights(residuals: jax.Array, visible: jax.Array, mad: str = "exact") -> jax.Array:
+def tukey_weights(
+    residuals: jax.Array, visible: jax.Array, mad: str = "exact", sigma=None
+) -> jax.Array:
     """The reference's ``Optimizer::tukeyWeighting`` (src/optimizer.cpp:485-514):
     sigma = 1.4826·MAD over visible residuals, c = 4.6851σ, zero outside."""
-    mad_fn = masked_mad_hist if mad == "hist" else masked_mad
-    sigma = 1.4826 * mad_fn(residuals, visible)
+    if sigma is None:
+        mad_fn = masked_mad_hist if mad == "hist" else masked_mad
+        sigma = 1.4826 * mad_fn(residuals, visible)
     sigma = jnp.maximum(sigma, jnp.finfo(residuals.dtype).eps)
     c = 4.6851 * sigma
     w = (1.0 - (residuals * residuals) / (c * c)) ** 2
@@ -83,11 +92,17 @@ def tukey_weights(residuals: jax.Array, visible: jax.Array, mad: str = "exact") 
     return jnp.where(visible, w, 0.0)
 
 
+def robust_sigma(residuals: jax.Array, visible: jax.Array, mad: str = "exact") -> jax.Array:
+    mad_fn = masked_mad_hist if mad == "hist" else masked_mad
+    return 1.4826 * mad_fn(residuals, visible)
+
+
 def _weights_for(
-    estimator: str, residuals: jax.Array, visible: jax.Array, mad: str = "exact"
+    estimator: str, residuals: jax.Array, visible: jax.Array, mad: str = "exact",
+    sigma=None,
 ) -> jax.Array:
     if estimator == "tukey":
-        return tukey_weights(residuals, visible, mad)
+        return tukey_weights(residuals, visible, mad, sigma)
     from sdvo_tpu.optim.estimators import mestimator_weights
 
     return mestimator_weights(residuals, estimator, visible)
@@ -147,9 +162,17 @@ def _solve_damped(H: jax.Array, g: jax.Array) -> jax.Array:
     eye = jnp.eye(H.shape[0], dtype=dtype)
 
     if H.shape[0] <= _UNROLL_MAX_D:
-        dx0, ok0 = _chol_solve_unrolled(H, g)
-        dx1, _ = _chol_solve_unrolled(H + (1e-6 * jnp.trace(H)) * eye, g)
-        return jnp.where(ok0, dx0, dx1)
+        # one pre-jittered solve instead of solve + fallback-solve: a RELATIVE
+        # per-diagonal ridge (Marquardt-style, 1e-7·diag) preserves the very
+        # different magnitudes of the translation/rotation directions (an
+        # absolute trace-scaled ridge swamps the small ones), is negligible
+        # next to the LM damping already in H, and halves the unrolled scalar
+        # chain in the hot loop; a genuinely indefinite system returns dx=0 →
+        # the small-step abort rolls back like the reference
+        # (src/optimizer.cpp:314-334)
+        ridge = 1e-7 * jnp.diagonal(H) + jnp.finfo(dtype).tiny
+        dx0, ok0 = _chol_solve_unrolled(H + jnp.diag(ridge), g)
+        return jnp.where(ok0, dx0, 0.0)
 
     def try_solve(jitter):
         L, ok = _chol(H + jitter * eye)
@@ -210,7 +233,12 @@ def optimize_lm(
 
     r0, vis0 = residual_fn(params0)
     dtype = r0.dtype
-    w0 = _weights_for(settings.estimator, r0, vis0, settings.mad)
+    sigma0 = (
+        robust_sigma(r0, vis0, settings.mad)
+        if (settings.freeze_sigma and settings.estimator == "tukey")
+        else None
+    )
+    w0 = _weights_for(settings.estimator, r0, vis0, settings.mad, sigma0)
     chi0 = _chi2(r0, w0, vis0)
 
     # probe J once for shape/D
@@ -266,7 +294,7 @@ def optimize_lm(
 
         new_params = update_fn(s.params, dx)
         r_new, vis_new = residual_fn(new_params)
-        w_new = _weights_for(settings.estimator, r_new, vis_new, settings.mad)
+        w_new = _weights_for(settings.estimator, r_new, vis_new, settings.mad, sigma0)
         chi_new = _chi2(r_new, w_new, vis_new)
 
         # Gain ratio rho = actual decrease / predicted decrease. The reference

@@ -129,11 +129,13 @@ def distributed_local_ba(
             Jp = Jp * live.astype(dtype)[:, None, None]
             JcW = Jc * w[:, None, None]
             JpW = Jp * w[:, None, None]
-            Hcc_obs = jnp.einsum("mri,mrj->mij", JcW, Jc)
-            Hpp_obs = jnp.einsum("mri,mrj->mij", JpW, Jp)
-            Wcp_obs = jnp.einsum("mri,mrj->mij", JcW, Jp)
-            gc_obs = jnp.einsum("mri,mr->mi", JcW, r)
-            gp_obs = jnp.einsum("mri,mr->mi", JpW, r)
+            # broadcast-reduce block outer products (see ba.bundle_adjustment
+            # _bmm note: batched tiny einsums lower to padded MXU matmuls)
+            Hcc_obs = jnp.sum(JcW[:, :, :, None] * Jc[:, :, None, :], axis=1)
+            Hpp_obs = jnp.sum(JpW[:, :, :, None] * Jp[:, :, None, :], axis=1)
+            Wcp_obs = jnp.sum(JcW[:, :, :, None] * Jp[:, :, None, :], axis=1)
+            gc_obs = jnp.sum(JcW * r[:, :, None], axis=1)
+            gp_obs = jnp.sum(JpW * r[:, :, None], axis=1)
 
             Hcc = jax.ops.segment_sum(Hcc_obs, ci, num_segments=K)
             gc = jax.ops.segment_sum(gc_obs, ci, num_segments=K)
@@ -141,21 +143,16 @@ def distributed_local_ba(
             gp = jax.ops.segment_sum(gp_obs, pi, num_segments=P_s)
             Hpp_inv = _inv3x3(Hpp + lam * jnp.eye(3, dtype=dtype))
 
-            Mmax = tbl.shape[1]
-            t_ok = tbl >= 0
-            t_idx = jnp.maximum(tbl, 0)
-            Wp = Wcp_obs[t_idx] * t_ok[..., None, None]
-            cam_of = jnp.where(t_ok, ci[t_idx], 0)
-            Y = jnp.einsum("pmij,pjk->pmik", Wp, Hpp_inv)
-            F = jnp.einsum("paik,pbjk->pabij", Y, Wp)
-            pair_idx = cam_of[:, :, None] * K + cam_of[:, None, :]
-            pair_ok = t_ok[:, :, None] & t_ok[:, None, :]
-            F = F * pair_ok[..., None, None]
-            S_fill = jax.ops.segment_sum(
-                F.reshape(-1, 6, 6), pair_idx.reshape(-1), num_segments=K * K
-            ).reshape(K, K, 6, 6)
-            rhs_fill = jnp.einsum("pmik,pk->pmi", Y, gp) * t_ok[..., None]
-            g_fill = jax.ops.segment_sum(rhs_fill.reshape(-1, 6), cam_of.reshape(-1), num_segments=K)
+            # Schur fill-in as one local dense matmul over the shard's points
+            # (same dense-W formulation as the single-chip local_ba)
+            Wd = jnp.zeros((P_s, K, 6, 3), dtype).at[pi, ci].add(
+                Wcp_obs * live[:, None, None].astype(dtype)
+            )
+            Yd = jnp.sum(Wd[..., :, None] * Hpp_inv[:, None, None, :, :], axis=-2)
+            Wr = Wd.transpose(1, 2, 0, 3).reshape(K * 6, P_s * 3)
+            Yr = Yd.transpose(1, 2, 0, 3).reshape(K * 6, P_s * 3)
+            S_fill = Yr @ Wr.T  # (6K, 6K)
+            g_fill = Yr @ gp.reshape(P_s * 3)
 
             # ---- the one collective: reduce the camera system over shards ----
             Hcc = jax.lax.psum(Hcc, axis_name="shard")
@@ -163,25 +160,22 @@ def distributed_local_ba(
             S_fill = jax.lax.psum(S_fill, axis_name="shard")
             g_fill = jax.lax.psum(g_fill, axis_name="shard")
 
-            Smat = jnp.zeros((K, K, 6, 6), dtype)
-            Smat = Smat.at[jnp.arange(K), jnp.arange(K)].set(Hcc + lam * jnp.eye(6, dtype=dtype))
-            Smat = Smat - S_fill
-            g_red = gc - g_fill
-            freec = (~fixed_cam).astype(dtype)
-            Smat = Smat * freec[:, None, None, None] * freec[None, :, None, None]
-            Smat = Smat.at[jnp.arange(K), jnp.arange(K)].add(
-                (1.0 - freec)[:, None, None] * jnp.eye(6, dtype=dtype)
-            )
-            g_red = g_red * freec[:, None]
-            Sd = Smat.transpose(0, 2, 1, 3).reshape(6 * K, 6 * K)
+            Sd = -S_fill
+            Sd = Sd.reshape(K, 6, K, 6).at[jnp.arange(K), :, jnp.arange(K), :].add(
+                Hcc + lam * jnp.eye(6, dtype=dtype)
+            ).reshape(K * 6, K * 6)
+            g_red = gc.reshape(K * 6) - g_fill
+            free6 = jnp.repeat((~fixed_cam).astype(dtype), 6)
+            Sd = Sd * free6[:, None] * free6[None, :] + jnp.diag(1.0 - free6)
+            g_red = g_red * free6
             L = jnp.linalg.cholesky(Sd + 1e-10 * jnp.eye(6 * K, dtype=dtype))
             okc = jnp.all(jnp.isfinite(L))
             L = jnp.where(okc, L, jnp.eye(6 * K, dtype=dtype))
-            dc = jax.scipy.linalg.cho_solve((L, True), g_red.reshape(-1)).reshape(K, 6)
+            dc = jax.scipy.linalg.cho_solve((L, True), g_red).reshape(K, 6)
             dc = jnp.where(okc, dc, 0.0)
 
-            WTdc = jnp.sum(jnp.einsum("pmij,pmi->pmj", Wp, dc[cam_of] * t_ok[..., None]), axis=1)
-            dp = jnp.einsum("pij,pj->pi", Hpp_inv, gp - WTdc)
+            WTdc = (Wr.T @ dc.reshape(K * 6)).reshape(P_s, 3)
+            dp = jnp.sum(Hpp_inv * (gp - WTdc)[:, None, :], axis=-1)
 
             delta = se3.exp(-dc)
             R_new = delta.rotation @ R_all

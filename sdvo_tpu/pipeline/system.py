@@ -127,11 +127,22 @@ class System:
         self.jax_key = jax.random.PRNGKey(seed)
         self.pose_refinement = True  # bearing-vector pose polish after reprojection
 
+        # distortion at ingest: precomputed remap grids, applied to every
+        # incoming image so the whole pipeline runs on the pinhole model
+        # (``PinholeCamera::undistortImage`` + the m_undistortedImage flow,
+        # src/pinhole_camera.cpp:25-27,178-184). Auto-disabled for d≈0.
+        self._undistort_maps = None
+        if camera.has_distortion:
+            from sdvo_tpu.geometry.camera import build_undistort_maps
+
+            self._undistort_maps = build_undistort_maps(camera)
+
     # ------------------------------------------------------------------ api
     def add_image(self, image: np.ndarray, timestamp: float) -> FrameResult:
         """Per-frame entry point (``System::addImage``, src/system.cpp:34-76)."""
         t0 = time.perf_counter()
         assert image.ndim == 2, "grayscale input required (Frame ctor check, src/frame.cpp:20-24)"
+        image = self.preprocess_image(image)
         img = jnp.asarray(image, self.dtype)
         with self.timers.scope("pyramid"):
             pyramid = build_pyramid(img, self.num_levels)
@@ -160,6 +171,37 @@ class System:
             }
         )
         return result
+
+    def preprocess_image(self, image: np.ndarray) -> np.ndarray:
+        """Undistort at ingest when the camera model has distortion."""
+        if self._undistort_maps is None:
+            return image
+        from scipy.ndimage import map_coordinates
+
+        map_u, map_v = self._undistort_maps
+        return map_coordinates(
+            np.asarray(image, np.float32), [map_v, map_u], order=1, mode="nearest"
+        )
+
+    def _viz_dump(self, frame: "_FrameRecord", stage: str, uv: np.ndarray, color="orange"):
+        """Per-stage overlay dump gated by config.visualization (the reference
+        gates cv::imshow/imwrite per stage, src/system.cpp:90-106,324-342)."""
+        cfg_v = self.config.visualization
+        if not cfg_v.enable_visualization or cfg_v.saving_type != "File":
+            return
+        import os
+
+        from sdvo_tpu.viz.overlays import draw_feature_points, get_color_image
+
+        out_dir = os.path.join(self.config.file_paths.output_dir, "images")
+        os.makedirs(out_dir, exist_ok=True)
+        img = np.asarray(frame.pyramid.base_image).astype(np.uint8)
+        over = draw_feature_points(get_color_image(img), np.asarray(uv), color=color)
+        from PIL import Image
+
+        Image.fromarray(over).save(
+            os.path.join(out_dir, f"{frame.frame_id:06d}_{stage}.png")
+        )
 
     def write_poses(self, path: str):
         from sdvo_tpu.dataio.poses import write_kitti_poses
@@ -306,6 +348,7 @@ class System:
         frame.pose_wc = np.eye(4)
         frame.feat_uv = feats.uv.astype(np.float64)
         frame.feat_point = -np.ones(len(feats.uv), np.int64)
+        self._viz_dump(frame, "detect", feats.uv, color="green")
         frame.kf_slot = self.arena.add_keyframe(frame.frame_id, frame.pose_wc, frame.pyramid)
         self.ref_frame = frame
         self.last_kf = frame
@@ -402,6 +445,7 @@ class System:
 
         frame.feat_uv = rep.uv
         frame.feat_point = rep.pt_slot
+        self._viz_dump(frame, "reproject", rep.uv)
 
         # 6. scene depth stats in the current frame
         pts_cam = self._points_in_frame(frame)

@@ -165,3 +165,98 @@ def test_optimize_structure(rng):
     # points observed by >=2 cameras should snap back
     multi = np.asarray(jnp.sum(table >= 0, axis=-1)) >= 2
     assert np.median(err_after[multi]) < np.median(err_before[multi]) * 0.05
+
+
+def _variant_problem(rng, K=3, P=40):
+    """K noisy poses + P noisy points with exact projections for refinement."""
+    import jax.numpy as jnp
+
+    from sdvo_tpu.geometry import se3
+    from sdvo_tpu.geometry.se3 import SE3
+
+    FX = FY = 320.0
+    CX, CY = 160.0, 120.0
+    taus = np.stack([np.array([0.3 * k, 0.02 * k, 0.05 * k, 0.0, 0.01 * k, 0.0]) for k in range(K)])
+    poses_gt = se3.exp(jnp.asarray(taus))
+    pts_gt = rng.uniform([-4, -3, 8], [4, 3, 20], (P, 3))
+    cam_idx, pt_idx, uvs = [], [], []
+    for k in range(K):
+        T = SE3(poses_gt.rotation[k], poses_gt.translation[k])
+        pc = np.asarray(T.apply(jnp.asarray(pts_gt)))
+        for p in range(P):
+            cam_idx.append(k)
+            pt_idx.append(p)
+            uvs.append([FX * pc[p, 0] / pc[p, 2] + CX, FY * pc[p, 1] / pc[p, 2] + CY])
+    M = len(cam_idx)
+    obs = BAObservations(
+        jnp.asarray(cam_idx, jnp.int32), jnp.asarray(pt_idx, jnp.int32),
+        jnp.asarray(np.asarray(uvs)), jnp.ones((M,), bool),
+    )
+    table = jnp.asarray(build_point_table(np.asarray(pt_idx), np.ones(M, bool), P, K))
+    return poses_gt, jnp.asarray(pts_gt), obs, table, (FX, FY, CX, CY)
+
+
+def test_three_view_ba_pose_only(rng):
+    """threeViewBA (src/bundle_adjustment.cpp:832-909): refines ONLY the
+    newest pose; the two previous keyframes and all landmarks stay put."""
+    import jax.numpy as jnp
+
+    from sdvo_tpu.ba.bundle_adjustment import three_view_ba
+    from sdvo_tpu.geometry.se3 import SE3
+
+    poses_gt, pts, obs, table, intr = _variant_problem(rng)
+    # perturb the last pose
+    R = np.array(poses_gt.rotation)
+    t = np.array(poses_gt.translation)
+    t[2] += [0.05, -0.03, 0.02]
+    poses0 = SE3(jnp.asarray(R), jnp.asarray(t))
+    poses_out, pts_out, chi2_obs, chi = three_view_ba(
+        poses0, pts, obs, table, *intr
+    )
+    # landmarks untouched, first two poses untouched, third recovered
+    np.testing.assert_allclose(np.asarray(pts_out), np.asarray(pts), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(poses_out.translation)[:2], t[:2], atol=1e-12)
+    err = np.linalg.norm(np.asarray(poses_out.translation)[2] - np.asarray(poses_gt.translation)[2])
+    assert err < 1e-3, err
+
+
+def test_one_frame_with_scene(rng):
+    """oneFrameWithScene (src/bundle_adjustment.cpp:627-719): one free frame +
+    free landmarks, neighbors fixed."""
+    import jax.numpy as jnp
+
+    from sdvo_tpu.ba.bundle_adjustment import one_frame_with_scene
+    from sdvo_tpu.geometry.se3 import SE3
+
+    poses_gt, pts, obs, table, intr = _variant_problem(rng)
+    t = np.array(poses_gt.translation)
+    t[1] += [0.04, 0.02, -0.03]
+    pts0 = np.asarray(pts) + rng.normal(size=np.asarray(pts).shape) * 0.03
+    poses_out, pts_out, chi2_obs, chi = one_frame_with_scene(
+        SE3(poses_gt.rotation, jnp.asarray(t)), jnp.asarray(pts0), obs, table, 1, *intr
+    )
+    np.testing.assert_allclose(np.asarray(poses_out.translation)[0], t[0], atol=1e-12)
+    np.testing.assert_allclose(np.asarray(poses_out.translation)[2], t[2], atol=1e-12)
+    err_t = np.linalg.norm(np.asarray(poses_out.translation)[1] - np.asarray(poses_gt.translation)[1])
+    assert err_t < 5e-3, err_t
+    err_p = np.linalg.norm(np.asarray(pts_out) - np.asarray(pts), axis=-1).mean()
+    assert err_p < np.linalg.norm(pts0 - np.asarray(pts), axis=-1).mean() * 0.2
+
+
+def test_optimize_scene_structure_only(rng):
+    """optimizeScene (src/bundle_adjustment.cpp:721-829): frames pinned,
+    landmarks converge back to ground truth."""
+    import jax.numpy as jnp
+
+    from sdvo_tpu.ba.bundle_adjustment import optimize_scene
+
+    poses_gt, pts, obs, table, intr = _variant_problem(rng)
+    pts0 = np.asarray(pts) + rng.normal(size=np.asarray(pts).shape) * 0.05
+    poses_out, pts_out, chi2_obs, chi = optimize_scene(
+        poses_gt, jnp.asarray(pts0), obs, table, *intr
+    )
+    np.testing.assert_allclose(
+        np.asarray(poses_out.translation), np.asarray(poses_gt.translation), atol=1e-12
+    )
+    err = np.linalg.norm(np.asarray(pts_out) - np.asarray(pts), axis=-1).mean()
+    assert err < 1e-3, err

@@ -95,3 +95,22 @@ def test_reprojection_error_zero(rng):
     cam, pts_w, T_ref, T_cur, uv_ref, uv_cur = make_scene(rng)
     err = tri.reprojection_error(T_cur, cam, pts_w, uv_cur)
     np.testing.assert_allclose(err, 0.0, atol=1e-8)
+
+
+def test_ransac_fails_fast_below_minimal_sample(rng):
+    """Fewer than 8 valid correspondences cannot constrain E — the RANSAC must
+    return inlier count 0 (previously top_k silently drew invalid indices)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sdvo_tpu.geometry.essential import find_essential_ransac
+
+    N = 32
+    x_ref = jnp.asarray(rng.normal(size=(N, 2)) * 0.2)
+    x_cur = x_ref + 0.01
+    mask = jnp.zeros((N,), bool).at[:6].set(True)  # only 6 valid
+    E, inl, count = find_essential_ransac(
+        x_ref, x_cur, mask, jax.random.PRNGKey(0), num_hypotheses=32
+    )
+    assert int(count) == 0
+    assert not bool(jnp.any(inl))

@@ -51,3 +51,21 @@ def test_out_of_window_flagged(rng):
     far = offs + jnp.asarray([WIN, 0.0], jnp.float32)
     _, ok = sample_windows(windows, far, P)
     assert not bool(jnp.any(ok))
+
+
+def test_window_gather_matches_stack(rng):
+    """Block-aligned row-gather extraction must sample identically."""
+    from sdvo_tpu.ops.window_sampler import window_gather
+
+    img = jnp.asarray(rng.uniform(0, 255, (120, 165)), jnp.float32)  # W%16 != 0
+    uv = jnp.asarray(rng.uniform(14, [165 - 14, 120 - 14], (64, 2)), jnp.float32)
+    windows, origin, ok = window_gather(img, uv, win_h=WIN)
+    assert bool(jnp.all(ok))
+    offs = uv - origin
+    v_w, gx_w, gy_w, ok_s = sample_windows_grad(windows, offs, P)
+    stack = build_patch_stack(img, P)
+    v_s, gx_s, gy_s, _ = sample_patches_grad(stack, uv)
+    assert bool(jnp.all(ok_s))
+    np.testing.assert_allclose(np.asarray(v_w), np.asarray(v_s), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gx_w), np.asarray(gx_s), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gy_w), np.asarray(gy_s), atol=1e-3)
