@@ -472,3 +472,25 @@ def optimize_scene(poses, points, obs, point_table, fx, fy, cx, cy,
         poses, points, obs, point_table, jnp.ones((K,), bool),
         jnp.zeros((P,), bool), fx, fy, cx, cy, settings=settings, num_cams=K,
     )
+
+
+@jax.jit
+def pose_covariance(T: SE3, points: jax.Array, bearings: jax.Array, valid: jax.Array):
+    """6×6 pose covariance of the bearing-residual pose solve:
+    cov = σ²·(JᵀJ)⁻¹ with σ² the residual variance — ``Frame::m_covPose``
+    (include/frame.hpp:199, Gavin LM notes eq. 21)."""
+    dtype = points.dtype
+    p_cam = T.apply(points)
+    norm = jnp.linalg.norm(p_cam, axis=-1, keepdims=True)
+    f = p_cam / jnp.maximum(norm, 1e-12)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), p_cam.shape[:-1] + (3, 3))
+    dfdp = (eye - f[..., :, None] * f[..., None, :]) / jnp.maximum(norm[..., None], 1e-12)
+    dpdxi = jnp.concatenate([eye, -se3.hat(p_cam)], axis=-1)
+    J = _bmm(dfdp, dpdxi) * valid[:, None, None].astype(dtype)  # (N,3,6)
+    Jf = J.reshape(-1, 6)
+    H = Jf.T @ Jf
+    r = ((f - bearings) * valid[:, None]).reshape(-1)
+    n = jnp.maximum(jnp.sum(valid.astype(dtype)) * 3.0 - 6.0, 1.0)
+    sigma2 = jnp.sum(r * r) / n
+    Hinv = jnp.linalg.inv(H + 1e-12 * jnp.eye(6, dtype=dtype))
+    return sigma2 * Hinv

@@ -25,10 +25,34 @@ import numpy as np
 from sdvo_tpu.features import ssc as ssc_mod
 
 
+class FeatureType:
+    """include/feature.hpp:20-25."""
+
+    CORNER = 0
+    EDGE = 1
+    DEFAULT = 2
+
+
 class DetectedFeatures(NamedTuple):
     uv: np.ndarray  # (K, 2) float32 pixel positions
     response: np.ndarray  # (K,)
     angle: np.ndarray  # (K,) gradient orientation (radians) — reference stores uint8 orientation
+    ftype: np.ndarray = None  # (K,) int FeatureType (reference tags gradient-magnitude detections CORNER)
+
+
+def gradient_orientation(image: np.ndarray, uv: np.ndarray) -> np.ndarray:
+    """Gradient orientation atan2(dy, dx) at integer feature pixels — the
+    reference stores it on every Feature (include/feature.hpp, set from the
+    detection gradients)."""
+    if len(uv) == 0:
+        return np.zeros((0,), np.float32)
+    img = np.asarray(image, np.float32)
+    H, W = img.shape
+    x = np.clip(np.asarray(uv)[:, 0].astype(int), 1, W - 2)
+    y = np.clip(np.asarray(uv)[:, 1].astype(int), 1, H - 2)
+    gx = 0.5 * (img[y, x + 1] - img[y, x - 1])
+    gy = 0.5 * (img[y + 1, x] - img[y - 1, x])
+    return np.arctan2(gy, gx).astype(np.float32)
 
 
 def gradient_magnitude_with_ssc(
@@ -54,7 +78,9 @@ def gradient_magnitude_with_ssc(
 
     xs, ys, resp = ssc_mod.threshold_extract(grad, detection_threshold)
     if xs.shape[0] == 0:
-        return DetectedFeatures(np.empty((0, 2), np.float32), np.empty(0, np.float32), np.empty(0, np.float32)), occupancy
+        empty = np.empty(0, np.float32)
+        return DetectedFeatures(np.empty((0, 2), np.float32), empty, empty,
+                                np.empty(0, np.int32)), occupancy
 
     sel = ssc_mod.ssc_select(xs, ys, num_candidates, tolerance, cols, rows)
     xs, ys, resp = xs[sel], ys[sel], resp[sel]
@@ -64,8 +90,11 @@ def gradient_magnitude_with_ssc(
         xs, ys, resp = xs[keep], ys[keep], resp[keep]
 
     uv = np.stack([xs, ys], axis=-1)
-    angle = np.zeros_like(resp)
-    return DetectedFeatures(uv, resp, angle), occupancy
+    # orientation of the magnitude surface at the feature; gradient-magnitude
+    # detections are tagged CORNER like the reference's detector
+    angle = gradient_orientation(grad, uv)
+    ftype = np.full(len(uv), FeatureType.CORNER, np.int32)
+    return DetectedFeatures(uv, resp, angle, ftype), occupancy
 
 
 def detect_gradient_by_value(

@@ -67,6 +67,7 @@ class _FrameRecord:
         self.timestamp = timestamp
         self.pyramid = pyramid  # device ImagePyramid
         self.pose_wc = pose_wc  # 4x4 float64 numpy, world→camera
+        self.pose_cov = np.zeros((6, 6))  # Frame::m_covPose (include/frame.hpp:199)
         self.feat_uv = np.zeros((0, 2))
         self.feat_point = np.zeros((0,), np.int64)  # arena point slots (−1 = none)
         self.kf_slot: Optional[int] = None
@@ -638,9 +639,11 @@ class System:
             jnp.asarray(frame.pose_wc[:3, :3], self.dtype),
             jnp.asarray(frame.pose_wc[:3, 3], self.dtype),
         )
-        T_out, rmse, status = optimize_pose(
-            T0, pts_w, bearings, jnp.ones((len(rep.pt_slot),), bool)
-        )
+        valid = jnp.ones((len(rep.pt_slot),), bool)
+        T_out, rmse, status = optimize_pose(T0, pts_w, bearings, valid)
+        from sdvo_tpu.ba.bundle_adjustment import pose_covariance
+
+        frame.pose_cov = np.asarray(pose_covariance(T_out, pts_w, bearings, valid), np.float64)
         T = np.eye(4)
         T[:3, :3] = np.asarray(T_out.rotation, np.float64)
         T[:3, 3] = np.asarray(T_out.translation, np.float64)
