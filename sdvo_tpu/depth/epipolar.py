@@ -148,10 +148,14 @@ def epipolar_search(
     """
     if isinstance(cur, PatchStack):
         cur_stack = cur
+        W = cur_stack.width.astype(mu.dtype)
+        H = cur_stack.height.astype(mu.dtype)
     else:
-        cur_stack = build_patch_stack(cur, patch_size)
-    W = cur_stack.width.astype(mu.dtype)
-    H = cur_stack.height.astype(mu.dtype)
+        # window path: per-(filter, step) block-aligned windows — the full
+        # 7×7 shifted stack moved ~90 MB of HBM per frame to feed 8k samples
+        cur_stack = None
+        H = jnp.asarray(cur.shape[0], mu.dtype)
+        W = jnp.asarray(cur.shape[1], mu.dtype)
     dtype = mu.dtype
     half = patch_size // 2
     P2 = patch_size * patch_size
@@ -197,7 +201,17 @@ def epipolar_search(
     # fixed-K positions along the segment (short segments oversample)
     t = (jnp.arange(num_steps, dtype=dtype) + 0.5) / num_steps  # (K,)
     locs = uv_min[:, None, :] + t[None, :, None] * epi[:, None, :]  # (F, K, 2)
-    cur_vals, patch_ok = sample_patches(cur_stack, locs)  # (F, K, P²), (F, K)
+    if cur_stack is not None:
+        cur_vals, patch_ok = sample_patches(cur_stack, locs)  # (F, K, P²), (F, K)
+    else:
+        from sdvo_tpu.ops.window_sampler import sample_windows, window_gather
+
+        Fn, K = locs.shape[:2]
+        locs_f = locs.reshape(Fn * K, 2)
+        win, org, ok_w = window_gather(cur, locs_f, win_h=patch_size + 5)
+        vals, ok_s = sample_windows(win, locs_f - org, patch_size)
+        cur_vals = vals.reshape(Fn, K, P2)
+        patch_ok = (ok_w & ok_s).reshape(Fn, K)
     scores = zssd_score(ref_warped[:, None, :], cur_vals)  # (F, K)
     scores = jnp.where(patch_ok, scores, jnp.inf)
 

@@ -1,0 +1,376 @@
+"""Pallas fused LM level-kernel for sparse photometric alignment.
+
+One pyramid level of the coarse-to-fine alignment is ~10 LM iterations, each
+issuing 10-15 small XLA kernels (~80 µs/iteration of pure launch latency —
+see PERF.md: the pipeline runs at ~2% of the bandwidth roofline because of
+exactly this). This kernel runs the ENTIRE level — project → sample →
+residual → robust weights → JᵀWJ → 6×6 solve → SE3 update → accept/reject —
+inside one ``pallas_call``: the per-feature current-image windows (≤0.5 MB),
+reference patches and frozen inverse-compositional/ESM Jacobians (≤0.2 MB)
+are VMEM-resident, and the LM loop is a ``lax.while_loop`` in-kernel, so the
+per-iteration cost is pure VPU compute instead of kernel launches.
+
+Mosaic constraints shape the implementation (all found the hard way):
+* no gather / dynamic_slice in-kernel → sampling is the separable
+  linear-interpolation contraction of ``ops.window_sampler`` (iota tri-weights
+  + broadcast-reduce), and the histogram-median uses masked reductions over a
+  monotone cumulative count instead of argmax+index;
+* tpu.iota is integer-only → iota int32 then cast;
+* small 1-D vectors / 3×3 matrices hit layout-rank checks → ALL pose math
+  (SE3 exp, composition, the 6×6 Cholesky solve) runs on plain scalars, and
+  every vector value stays ≥2-D;
+* no scalar stores to VMEM → outputs written as full blocks.
+
+Reference scope: the per-level body of ``ImageAlignment::align`` +
+``Optimizer::optimizeLM`` (src/image_alignment.cpp:49-62,
+src/optimizer.cpp:161-370).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sdvo_tpu.geometry.se3 import SE3
+
+_HIST_BINS = 64
+
+
+def _tri(center, patch, win):
+    """center (N,1) → (N, patch, win) linear-interp weights."""
+    p = jax.lax.broadcasted_iota(jnp.int32, (1, patch, 1), 1).astype(jnp.float32)
+    h = jax.lax.broadcasted_iota(jnp.int32, (1, 1, win), 2).astype(jnp.float32)
+    d = center[:, :, None] + p - h  # (N, patch, win) via (N,1,1) broadcast
+    return jnp.maximum(0.0, 1.0 - jnp.abs(d))
+
+
+def _sample(win, offs_x, offs_y, patch):
+    """offs (N,1); windows (N,WH,WW) → (vals (N,P²), ok (N,1))."""
+    N, WH, WW = win.shape
+    half = patch // 2
+    Vy = _tri(offs_y - half, patch, WH)
+    Vx = _tri(offs_x - half, patch, WW)
+    tmp = jnp.sum(Vy[:, :, :, None] * win[:, None, :, :], axis=2)  # (N,P,WW)
+    out = jnp.sum(tmp[:, :, None, :] * Vx[:, None, :, :], axis=3)  # (N,P,P)
+    ok = (
+        (offs_x - half >= 1) & (offs_y - half >= 1)
+        & (offs_x + half <= WW - 2) & (offs_y + half <= WH - 2)
+    )  # (N,1)
+    return out.reshape(N, patch * patch), ok
+
+
+def _hist_median(x, vis, lo, hi, half_n):
+    """Histogram-median of x[vis] (x, vis (N,P2)) over [lo, hi] — cumulative
+    counts + masked reductions (no argmax-gather, no dynamic_slice)."""
+    span = jnp.maximum(hi - lo, 1e-12)
+    k = jax.lax.broadcasted_iota(jnp.int32, (_HIST_BINS, 1, 1), 0).astype(jnp.float32) + 1.0
+    edges = lo + (k / _HIST_BINS) * span  # (B,1,1)
+    below = (x[None, :, :] <= edges) & vis[None, :, :]  # (B,N,P2)
+    # reduce in two strictly-2D stages (a (B,1,1) result trips Mosaic's
+    # implicit-dim layout check)
+    part = jnp.sum(below.astype(jnp.float32), axis=2)  # (B,N)
+    counts = jnp.sum(part, axis=1, keepdims=True)  # (B,1)
+    reached = counts >= half_n
+    idx = jnp.sum(1.0 - reached.astype(jnp.float32))
+    c_hi = jnp.min(jnp.where(reached, counts, jnp.inf))
+    c_hi = jnp.where(jnp.isfinite(c_hi), c_hi, half_n)
+    c_lo = jnp.max(jnp.where(reached, 0.0, counts))
+    frac = jnp.clip((half_n - c_lo) / jnp.maximum(c_hi - c_lo, 1.0), 0.0, 1.0)
+    return lo + (idx + frac) * (span / _HIST_BINS)
+
+
+def _hist_mad(r, vis, n_vis):
+    """MAD = median(|r − median(r)|), two histogram passes (mirrors
+    geometry.robust.masked_mad_hist)."""
+    half_n = 0.5 * n_vis
+    lo = jnp.min(jnp.where(vis, r, jnp.inf))
+    hi = jnp.max(jnp.where(vis, r, -jnp.inf))
+    med = _hist_median(r, vis, lo, hi, half_n)
+    dev = jnp.abs(r - med)
+    hi2 = jnp.max(jnp.where(vis, dev, 0.0))
+    return _hist_median(dev, vis, jnp.asarray(0.0, jnp.float32), hi2, half_n)
+
+
+def _chol6_scalar(H, g):
+    """6×6 Cholesky solve on PLAIN SCALARS. H: dict (i,j)→scalar, g: list.
+    Returns (dx list of 6 scalars, ok scalar bool)."""
+    D = 6
+    L = {}
+    ok = None
+    for i in range(D):
+        for j in range(i + 1):
+            s = H[(i, j)]
+            for kk in range(j):
+                s = s - L[(i, kk)] * L[(j, kk)]
+            if i == j:
+                pos = s > 0.0
+                ok = pos if ok is None else (ok & pos)
+                L[(i, j)] = jnp.sqrt(jnp.maximum(s, 1e-30))
+            else:
+                L[(i, j)] = s / L[(j, j)]
+    y = [None] * D
+    for i in range(D):
+        s = g[i]
+        for kk in range(i):
+            s = s - L[(i, kk)] * y[kk]
+        y[i] = s / L[(i, i)]
+    x = [None] * D
+    for i in reversed(range(D)):
+        s = y[i]
+        for kk in range(i + 1, D):
+            s = s - L[(kk, i)] * x[kk]
+        x[i] = s / L[(i, i)]
+    for xi in x:
+        ok = ok & jnp.isfinite(xi)
+    return x, ok
+
+
+def _se3_exp_scalar(tau):
+    """SE3 exp on 6 scalars → (R 9 scalars row-major, t 3 scalars).
+    Matches geometry.se3.exp."""
+    ux, uy, uz, wx, wy, wz = tau
+    theta2 = wx * wx + wy * wy + wz * wz
+    theta = jnp.sqrt(jnp.maximum(theta2, 1e-30))
+    small = theta2 < 1e-12
+    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
+    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
+    c = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0,
+                  (theta - jnp.sin(theta)) / (theta2 * theta))
+    # R = I + a W + b W², W = hat(w)
+    R = (
+        1.0 + b * (-wz * wz - wy * wy), -a * wz + b * wx * wy, a * wy + b * wx * wz,
+        a * wz + b * wx * wy, 1.0 + b * (-wx * wx - wz * wz), -a * wx + b * wy * wz,
+        -a * wy + b * wx * wz, a * wx + b * wy * wz, 1.0 + b * (-wx * wx - wy * wy),
+    )
+    # V = I + b W + c W²
+    V = (
+        1.0 + c * (-wz * wz - wy * wy), -b * wz + c * wx * wy, b * wy + c * wx * wz,
+        b * wz + c * wx * wy, 1.0 + c * (-wx * wx - wz * wz), -b * wx + c * wy * wz,
+        -b * wy + c * wx * wz, b * wx + c * wy * wz, 1.0 + c * (-wx * wx - wy * wy),
+    )
+    t = (
+        V[0] * ux + V[1] * uy + V[2] * uz,
+        V[3] * ux + V[4] * uy + V[5] * uz,
+        V[6] * ux + V[7] * uy + V[8] * uz,
+    )
+    return R, t
+
+
+def _mat9_mul(A, B):
+    """(9,)-scalar row-major 3×3 product A@B."""
+    return tuple(
+        A[3 * i + 0] * B[0 + j] + A[3 * i + 1] * B[3 + j] + A[3 * i + 2] * B[6 + j]
+        for i in range(3) for j in range(3)
+    )
+
+
+def _lm_level_kernel(
+    pose_ref,  # (3, 4) [R | t] initial
+    win_ref,  # (N, WH, WW)
+    patch_ref,  # (N, P2)
+    J_ref,  # (6, N, P2) — component-major: slicing the minor (lane) dim of an
+            # (N, P2, 6) array gives offset layouts Mosaic cannot reduce over
+    pts_ref,  # (N, 3)
+    org_ref,  # (N, 2)
+    vis_ref,  # (N, 1) f32 mask
+    intr_ref,  # (1, 4) fx, fy, cx, cy (level-scaled)
+    out_pose,  # (3, 4)
+    out_stats,  # (1, 4) chi2, n_vis, iters, status
+    *, patch: int, max_iters: int, min_rel_decrease: float,
+):
+    win = win_ref[...]
+    patches = patch_ref[...]
+    J = J_ref[...]
+    pts = pts_ref[...]
+    org_x = org_ref[:, 0:1]  # (N,1)
+    org_y = org_ref[:, 1:2]
+    base_vis = vis_ref[...] > 0.5  # (N,1)
+    fx = intr_ref[0, 0]
+    fy = intr_ref[0, 1]
+    cx = intr_ref[0, 2]
+    cy = intr_ref[0, 3]
+    N, P2 = patches.shape
+    X = pts[:, 0:1]  # (N,1)
+    Y = pts[:, 1:2]
+    Z = pts[:, 2:3]
+
+    def residuals(R, t):
+        # R: 9 scalars row-major, t: 3 scalars
+        px = X * R[0] + Y * R[1] + Z * R[2] + t[0]
+        py = X * R[3] + Y * R[4] + Z * R[5] + t[1]
+        pz = X * R[6] + Y * R[7] + Z * R[8] + t[2]
+        zs = jnp.where(pz < 1e-6, 1.0, pz)
+        u = fx * px / zs + cx - org_x  # (N,1)
+        v = fy * py / zs + cy - org_y
+        vals, ok = _sample(win, u, v, patch)
+        vis = base_vis & ok & (pz > 1e-6)  # (N,1)
+        # visibility travels as an f32 mask: selecting between BOOL vectors
+        # ("arith.select" on i1) does not legalize in Mosaic
+        vis2 = jnp.broadcast_to(vis.astype(jnp.float32), (N, P2))
+        r = (vals - patches) * vis2
+        return r, vis2
+
+    def weights_chi2(r, vis):
+        # vis: f32 mask (N,P2)
+        n_vis = jnp.maximum(jnp.sum(vis), 1.0)
+        sigma = 1.4826 * _hist_mad(r, vis > 0.5, n_vis)
+        c = 4.6851 * jnp.maximum(sigma, 1e-12)
+        w = (1.0 - (r * r) / (c * c)) ** 2
+        w = jnp.where(jnp.abs(r) <= c, w, 0.0) * vis
+        chi2 = jnp.sum(w * r * r)
+        return w, chi2, n_vis
+
+    R0 = tuple(pose_ref[i, j] for i in range(3) for j in range(3))
+    t0 = tuple(pose_ref[i, 3] for i in range(3))
+    r0, vis0 = residuals(R0, t0)
+    w0, chi0, _ = weights_chi2(r0, vis0)
+
+    def cond(state):
+        it, done = state[0], state[1]
+        return (it < max_iters) & jnp.logical_not(done)
+
+    def body(state):
+        (it, done, chi, lam, nu, w, r, vis) = state[:8]
+        R = state[8:17]
+        t = state[17:20]
+        wv = w * vis
+        # H, g as scalars via full 2-D reductions over component-major J
+        H = {}
+        g = []
+        Jw = [J[i] * wv for i in range(6)]  # six (N,P2) weighted components
+        for i in range(6):
+            g.append(jnp.sum(Jw[i] * r))
+            for j in range(i + 1):
+                H[(i, j)] = jnp.sum(Jw[i] * J[j])
+        diag_max = H[(0, 0)]
+        for i in range(1, 6):
+            diag_max = jnp.maximum(diag_max, jnp.abs(H[(i, i)]))
+        lam_eff = jnp.where(it == 0, lam * diag_max, lam)
+        Hd = dict(H)
+        for i in range(6):
+            Hd[(i, i)] = H[(i, i)] + lam_eff
+        dx, okc = _chol6_scalar(Hd, g)
+        dx = [jnp.where(okc, d, 0.0) for d in dx]
+        # T_new = T ∘ exp(-dx)
+        dR, dt = _se3_exp_scalar([-d for d in dx])
+        R_new = _mat9_mul(R, dR)
+        t_new = (
+            R[0] * dt[0] + R[1] * dt[1] + R[2] * dt[2] + t[0],
+            R[3] * dt[0] + R[4] * dt[1] + R[5] * dt[2] + t[1],
+            R[6] * dt[0] + R[7] * dt[1] + R[8] * dt[2] + t[2],
+        )
+        r_n, vis_n = residuals(R_new, t_new)
+        w_n, chi_n, _ = weights_chi2(r_n, vis_n)
+        pred = sum(d * (lam_eff * d + gi) for d, gi in zip(dx, g))
+        rho = (chi - chi_n) / jnp.maximum(pred, 1e-30)
+        success = (chi - chi_n) > 0.0
+        lam_next = jnp.where(
+            success, lam_eff * jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3),
+            lam_eff * nu,
+        )
+        nu_next = jnp.where(success, 2.0, nu * 2.0)
+        small = sum(d * d for d in dx) < 1e-16
+        rel_dec = (chi - chi_n) / jnp.maximum(chi, 1e-30)
+        rel_pred = pred / jnp.maximum(chi, 1e-30)
+        done_n = (
+            small | jnp.logical_not(okc)
+            | (success & (rel_dec < min_rel_decrease))
+            | (rel_pred < 0.1 * min_rel_decrease)
+        )
+        accept = success & jnp.logical_not(small)
+        R_out = tuple(jnp.where(accept, a, b) for a, b in zip(R_new, R))
+        t_out = tuple(jnp.where(accept, a, b) for a, b in zip(t_new, t))
+        chi_out = jnp.where(accept, chi_n, chi)
+        w_out = jnp.where(accept, w_n, w)
+        r_out = jnp.where(accept, r_n, r)
+        vis_out = jnp.where(accept, vis_n, vis)
+        return (it + 1, done_n, chi_out, lam_next, nu_next, w_out, r_out,
+                vis_out) + R_out + t_out
+
+    init = (
+        jnp.asarray(0, jnp.int32), jnp.asarray(False), chi0,
+        jnp.asarray(1e-2, jnp.float32), jnp.asarray(2.0, jnp.float32),
+        w0, r0, vis0,
+    ) + R0 + t0
+    final = jax.lax.while_loop(cond, body, init)
+    it_f, chi_f, vis_f = final[0], final[2], final[7]
+    R_f = final[8:17]
+    t_f = final[17:20]
+    n_vis = jnp.maximum(jnp.sum(vis_f), 1.0)
+
+    # scalars → 2-D blocks via one-hot accumulation: Mosaic can neither store
+    # scalars to VMEM nor build small 1-D vectors (layout-rank check)
+    def scalar_grid(vals, rows, cols):
+        ri = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+        out = jnp.zeros((rows, cols), jnp.float32)
+        for (i, j), v in vals.items():
+            out = out + jnp.where((ri == i) & (ci == j), v, 0.0)
+        return out
+
+    pose_vals = {}
+    for i in range(3):
+        for j in range(3):
+            pose_vals[(i, j)] = R_f[3 * i + j]
+        pose_vals[(i, 3)] = t_f[i]
+    out_pose[...] = scalar_grid(pose_vals, 3, 4)
+    out_stats[...] = scalar_grid(
+        {(0, 0): chi_f, (0, 1): n_vis, (0, 2): it_f.astype(jnp.float32),
+         (0, 3): jnp.asarray(0.0, jnp.float32)}, 1, 4,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("patch", "max_iters", "min_rel_decrease", "interpret"),
+)
+def lm_align_level(
+    T_init: SE3,
+    windows: jax.Array,  # (N, WH, WW) current-image windows (level coords)
+    ref_patches: jax.Array,  # (N, P2)
+    J: jax.Array,  # (N, P2, 6) frozen IC/ESM Jacobians
+    points_ref: jax.Array,  # (N, 3)
+    origins: jax.Array,  # (N, 2) window origins (level pixel coords)
+    visible: jax.Array,  # (N,) bool
+    fx, fy, cx, cy,  # level-scaled intrinsics
+    patch: int = 5,
+    max_iters: int = 12,
+    min_rel_decrease: float = 1e-3,
+    interpret: bool = False,
+) -> Tuple[SE3, jax.Array, jax.Array]:
+    """One fused-LM pyramid level. Returns (T, rmse, iterations)."""
+    f32 = jnp.float32
+    pose = jnp.concatenate(
+        [T_init.rotation.astype(f32), T_init.translation.astype(f32)[:, None]], axis=1
+    )
+    intr = jnp.stack([fx, fy, cx, cy]).astype(f32).reshape(1, 4)
+    kernel = functools.partial(
+        _lm_level_kernel, patch=patch, max_iters=max_iters,
+        min_rel_decrease=min_rel_decrease,
+    )
+    out_pose, out_stats = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((3, 4), f32),
+            jax.ShapeDtypeStruct((1, 4), f32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(
+        pose, windows.astype(f32), ref_patches.astype(f32),
+        jnp.transpose(J.astype(f32), (2, 0, 1)),  # (6, N, P2) component-major
+        points_ref.astype(f32), origins.astype(f32),
+        visible.astype(f32)[:, None], intr,
+    )
+    T = SE3(out_pose[0:3, 0:3].astype(T_init.dtype), out_pose[0:3, 3].astype(T_init.dtype))
+    rmse = jnp.sqrt(out_stats[0, 0] / out_stats[0, 1]).astype(T_init.dtype)
+    return T, rmse, out_stats[0, 2].astype(jnp.int32)

@@ -1,0 +1,85 @@
+"""Fused Pallas LM level-kernel vs the XLA windows backend (interpret mode on
+CPU — the same kernel compiles with Mosaic on TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sdvo_tpu.geometry import se3
+from sdvo_tpu.geometry.se3 import SE3
+from sdvo_tpu.image.pyramid import build_pyramid
+from sdvo_tpu.ops.pallas_lm import lm_align_level
+from sdvo_tpu.ops.window_sampler import sample_windows_grad, window_gather
+
+from test_image_alignment import CAM, PLANE_Z, _grid_features, _make_pair
+
+
+def _level_problem(rng, tau_rel, level=0):
+    cam, img_ref, img_cur, T_cur = _make_pair(rng, tau_rel)
+    pyr_ref = build_pyramid(img_ref, 2)
+    pyr_cur = build_pyramid(img_cur, 2)
+    feats = _grid_features(cam, dtype=jnp.float32)
+    scale = 1.0 / (1 << level)
+    H, W = pyr_cur.images[level].shape
+    P = 5
+    f32 = jnp.float32
+
+    uv_l = feats.uv_host * scale
+    win_r, org_r, ok_r = window_gather(pyr_ref.images[level].astype(f32), uv_l, 16)
+    patches, gx, gy, ok_s = sample_windows_grad(win_r, uv_l - org_r, P)
+    visible = feats.valid & ok_r & ok_s
+
+    fx = jnp.asarray(cam.fx * scale, f32)
+    fy = jnp.asarray(cam.fy * scale, f32)
+    cx = jnp.asarray(cam.cx * scale, f32)
+    cy = jnp.asarray(cam.cy * scale, f32)
+
+    # inverse-compositional Jacobian at the reference (identical math to
+    # SparseImageAlign._jac_rows)
+    p = feats.points_ref
+    x, y, z = p[..., 0], p[..., 1], p[..., 2]
+    iz = 1.0 / z
+    iz2 = iz * iz
+    row_u = jnp.stack([fx * iz, jnp.zeros_like(x), -fx * x * iz2,
+                       -fx * x * y * iz2, fx * (1 + x * x * iz2), -fx * y * iz], -1)
+    row_v = jnp.stack([jnp.zeros_like(x), fy * iz, -fy * y * iz2,
+                       -fy * (1 + y * y * iz2), fy * x * y * iz2, fy * x * iz], -1)
+    J = gx[..., None] * row_u[:, None, :] + gy[..., None] * row_v[:, None, :]
+    J = jnp.where(visible[:, None, None], J, 0.0)
+
+    # current windows at the initial (identity) projection
+    zc = jnp.where(p[..., 2] < 1e-6, 1.0, p[..., 2])
+    uv0 = jnp.stack([(fx * p[..., 0] / zc + cx), (fy * p[..., 1] / zc + cy)], -1)
+    win_c, org_c, ok_c = window_gather(pyr_cur.images[level].astype(f32), uv0, 16)
+    visible = visible & ok_c
+    return (win_c, patches, J, p.astype(f32), org_c, visible,
+            fx, fy, cx, cy, T_cur)
+
+
+def test_pallas_lm_level_converges(rng):
+    tau = [0.02, -0.01, 0.015, 0.002, -0.003, 0.004]
+    (win, patches, J, pts, org, vis, fx, fy, cx, cy, T_cur) = _level_problem(rng, tau)
+    T0 = SE3.identity(dtype=jnp.float32)
+    T_est, rmse, iters = lm_align_level(
+        T0, win, patches, J, pts, org, vis, fx, fy, cx, cy,
+        patch=5, max_iters=15, interpret=True,
+    )
+    T_cur32 = SE3(T_cur.rotation.astype(jnp.float32), T_cur.translation.astype(jnp.float32))
+    err = np.asarray(se3.log(T_est.compose(T_cur32.inverse())), np.float64)
+    assert np.linalg.norm(err[:3]) < 2e-3, (err, float(rmse), int(iters))
+    assert np.linalg.norm(err[3:]) < 5e-4, (err, float(rmse))
+    assert int(iters) >= 2
+
+
+def test_pallas_lm_masks_invalid(rng):
+    """All-invalid features must leave the pose untouched (no NaNs)."""
+    tau = [0.02, -0.01, 0.015, 0.0, 0.0, 0.0]
+    (win, patches, J, pts, org, vis, fx, fy, cx, cy, T_cur) = _level_problem(rng, tau)
+    T0 = SE3.identity(dtype=jnp.float32)
+    T_est, rmse, iters = lm_align_level(
+        T0, win, patches, J, pts, org, jnp.zeros_like(vis),
+        fx, fy, cx, cy, patch=5, max_iters=5, interpret=True,
+    )
+    assert np.all(np.isfinite(np.asarray(T_est.translation)))
+    np.testing.assert_allclose(np.asarray(T_est.translation), 0.0, atol=1e-5)
