@@ -132,6 +132,8 @@ def align_features_2d_cached(
     patch_size: int = 5,
     max_iterations: int = 10,
     window: int = 24,
+    backend: str = "auto",
+    contrast_threshold: float = 1.0,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """:func:`align_features_2d` with PRECOMPUTED reference patch tables.
 
@@ -151,6 +153,21 @@ def align_features_2d_cached(
 
     win, org_f, org_ok = window_gather(cur_gradient, uv_init, window)
     live = live & org_ok
+
+    # ``contrast_threshold`` is in SQUARED intensity units of the input images
+    # (default: one level of an 8-bit [0,255] image; callers feeding
+    # [0,1]-normalized images must scale it down accordingly)
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if backend == "pallas":
+        from sdvo_tpu.ops.pallas_fa import fa_align_batch
+
+        return fa_align_batch(
+            win, ref_patch, gx, gy, uv_init, org_f, live,
+            patch=patch_size, max_iters=max_iterations,
+            contrast_threshold=contrast_threshold,
+            interpret=jax.default_backend() != "tpu",
+        )
     ones = jnp.ones_like(gx)
     J = jnp.stack([gx, gy, ones], axis=-1)  # (N, P², 3)
 
@@ -248,6 +265,6 @@ def align_features_2d_cached(
     cur_f, _ = sample_windows(win, final.params[:, :2] - org_f, patch_size)
     mean_c = jnp.sum(jnp.where(vis_f, cur_f, 0.0), axis=-1) / n_vis
     var_c = jnp.sum(jnp.where(vis_f, (cur_f - mean_c[:, None]) ** 2, 0.0), axis=-1) / n_vis
-    has_contrast = var_c > 1.0  # one intensity level of structure
+    has_contrast = var_c > contrast_threshold  # structured current patch
     converged = live & (moved < patch_size * 2.0) & has_contrast
     return final.params[:, :2], rmse, converged

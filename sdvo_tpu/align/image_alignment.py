@@ -28,6 +28,12 @@ Key differences from the C++ (deliberate, TPU-first):
 * Per-level optimization runs through the shared batched LM engine
   (sdvo_tpu.optim.optimizer) with Tukey IRLS — the same engine the reference
   drives through callbacks (src/optimizer.cpp:161-370).
+* ``backend="pallas"`` (the TPU default) replaces the per-level LM while_loop
+  with ONE fused Mosaic kernel (sdvo_tpu.ops.pallas_lm): windows, reference
+  patches and frozen Jacobians live in VMEM and the whole
+  sample→residual→Tukey→JᵀWJ→solve→retract loop runs in-kernel, so a level
+  costs one kernel launch instead of ~100 (PERF.md: launch latency is the
+  binding constraint at ~2% of the bandwidth roofline).
 """
 
 from __future__ import annotations
@@ -87,7 +93,18 @@ class SparseImageAlign:
         use_esm: bool = True,
         use_windows: bool = True,
         window: int = 16,
+        backend: str = "auto",
     ):
+        # backend: "xla" = per-level optimize_lm while_loop (portable);
+        # "pallas" = fused Mosaic level kernel (ops.pallas_lm) — one launch per
+        # level; "auto" = pallas on TPU, xla elsewhere. On CPU the pallas
+        # backend runs the kernel in interpret mode (tests/parity only).
+        if backend == "auto":
+            backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        assert backend in ("xla", "pallas"), backend
+        assert backend != "pallas" or use_windows, "pallas backend requires use_windows"
+        self.backend = backend
+        self._interpret = jax.default_backend() != "tpu"
         # use_windows: per-feature 16×16 windows + separable-interp sampling
         # (sdvo_tpu.ops.window_sampler) — no full-image shifted stacks, no
         # per-iteration gathers. The LM motion budget inside one level is a
@@ -264,9 +281,23 @@ class SparseImageAlign:
                 gy = 0.5 * (gy_r + gcy)
             else:
                 gx, gy = gx_r, gy_r
-            J = gx[..., None] * row_u[:, None, :] + gy[..., None] * row_v[:, None, :]
-            J = jnp.where(visible[:, None, None], J, 0.0).reshape(-1, 6)
+            J3 = gx[..., None] * row_u[:, None, :] + gy[..., None] * row_v[:, None, :]
+            J3 = jnp.where(visible[:, None, None], J3, 0.0)
 
+            if self.backend == "pallas":
+                from sdvo_tpu.ops.pallas_lm import lm_align_level
+
+                T, rmse, _iters = lm_align_level(
+                    T, win_cur, patches, J3, feats.points_ref, org_c, visible,
+                    fx * scale, fy * scale, cx * scale, cy * scale,
+                    patch=P, max_iters=self.settings.max_iterations,
+                    min_rel_decrease=self.settings.min_rel_decrease,
+                    interpret=self._interpret,
+                )
+                status = jnp.asarray(0, jnp.int32)
+                continue
+
+            J = J3.reshape(-1, 6)
             org_cf = org_c
 
             def residual_fn(T_, _lvl=level, _patches=patches, _visible=visible,

@@ -122,6 +122,7 @@ def reproject_device(
     max_error: float,
     patch_size: int,
     frame_salt: jax.Array,  # scalar int32 — varies the cell shuffle per frame
+    backend: str = "auto",  # feature-alignment backend (see align_features_2d_cached)
 ) -> Tuple[DeviceMap, DeviceMatches]:
     """One full reprojection pass (Map::reprojectMap, src/map.cpp:260-489)."""
     K, F = m.feat_valid.shape
@@ -199,7 +200,7 @@ def reproject_device(
     # --- batched feature alignment off the cached patch tables --------------
     uv_out, err, conv = align_features_2d_cached(
         cur_gradient, ref_patch, ref_gx, ref_gy, uv_init.astype(dtype), live,
-        patch_size=patch_size,
+        patch_size=patch_size, backend=backend,
     )
     good = live & conv & (err < max_error)
 

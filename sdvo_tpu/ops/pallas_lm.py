@@ -10,16 +10,25 @@ reference patches and frozen inverse-compositional/ESM Jacobians (≤0.2 MB)
 are VMEM-resident, and the LM loop is a ``lax.while_loop`` in-kernel, so the
 per-iteration cost is pure VPU compute instead of kernel launches.
 
-Mosaic constraints shape the implementation (all found the hard way):
-* no gather / dynamic_slice in-kernel → sampling is the separable
-  linear-interpolation contraction of ``ops.window_sampler`` (iota tri-weights
-  + broadcast-reduce), and the histogram-median uses masked reductions over a
-  monotone cumulative count instead of argmax+index;
-* tpu.iota is integer-only → iota int32 then cast;
-* small 1-D vectors / 3×3 matrices hit layout-rank checks → ALL pose math
-  (SE3 exp, composition, the 6×6 Cholesky solve) runs on plain scalars, and
-  every vector value stays ≥2-D;
-* no scalar stores to VMEM → outputs written as full blocks.
+Mosaic constraints shape the implementation (all found the hard way, on the
+real chip — the interpret-mode tests do not exercise the layout engine):
+* no gather / dynamic_slice in-kernel → sampling is bilinear interpolation
+  written as P² unrolled weighted reductions over the FLAT (N, WH·WW)
+  window: weight(n, j) = tri(y+p − j÷WW) · tri(x+q − j mod WW). The
+  separable 3-D contraction form (ops.window_sampler) compiles standalone
+  but hits "Invalid relayout" inside any in-kernel loop on this toolchain;
+  the flat 2-D form is loop-safe and still ~15 M VPU ops (~4 µs) per pass;
+* in-kernel reshape (N,25)→(1,N·25) is an unsupported shape cast → the
+  robust scale uses BISECTION: masked-count median (12 halvings, each one
+  (N,P²)→scalar reduction) instead of a histogram CDF;
+* the while-loop carry holds ONLY scalars (pose, chi², lambda) — (N,·)
+  vector carries trip layout-inference across the loop boundary, so
+  residuals/weights are recomputed from the pose each iteration (one extra
+  sample pass, ~4 µs);
+* tpu.iota is integer-only → iota int32 then cast; small 1-D vectors / 3×3
+  matrices hit layout-rank checks → ALL pose math (SE3 exp, composition,
+  the 6×6 Cholesky solve) runs on plain scalars, every vector value stays
+  ≥2-D, and scalars are written out via one-hot masked accumulation.
 
 Reference scope: the per-level body of ``ImageAlignment::align`` +
 ``Optimizer::optimizeLM`` (src/image_alignment.cpp:49-62,
@@ -38,62 +47,71 @@ from jax.experimental.pallas import tpu as pltpu
 
 from sdvo_tpu.geometry.se3 import SE3
 
-_HIST_BINS = 64
+_BISECT_STEPS = 12
 
 
-def _tri(center, patch, win):
-    """center (N,1) → (N, patch, win) linear-interp weights."""
-    p = jax.lax.broadcasted_iota(jnp.int32, (1, patch, 1), 1).astype(jnp.float32)
-    h = jax.lax.broadcasted_iota(jnp.int32, (1, 1, win), 2).astype(jnp.float32)
-    d = center[:, :, None] + p - h  # (N, patch, win) via (N,1,1) broadcast
-    return jnp.maximum(0.0, 1.0 - jnp.abs(d))
+def _flat_grid(WH: int, WW: int):
+    """(1, WH·WW) row/col coordinate grids of the flattened window."""
+    j = jax.lax.broadcasted_iota(jnp.int32, (1, WH * WW), 1)
+    return (j // WW).astype(jnp.float32), (j % WW).astype(jnp.float32)
 
 
-def _sample(win, offs_x, offs_y, patch):
-    """offs (N,1); windows (N,WH,WW) → (vals (N,P²), ok (N,1))."""
-    N, WH, WW = win.shape
+def _sample_flat(win_flat, offs_x, offs_y, patch, WH, WW):
+    """Bilinear P×P patches from flat windows — 2-D ops only.
+
+    win_flat (N, WH·WW); offs (N, 1) patch-center in window coords.
+    Returns (vals (N, P²), ok (N, 1) bool). Identical math to
+    ops.window_sampler.sample_windows (tri-weight bilinear interpolation).
+    """
+    N = win_flat.shape[0]
+    hh, ww = _flat_grid(WH, WW)
     half = patch // 2
-    Vy = _tri(offs_y - half, patch, WH)
-    Vx = _tri(offs_x - half, patch, WW)
-    tmp = jnp.sum(Vy[:, :, :, None] * win[:, None, :, :], axis=2)  # (N,P,WW)
-    out = jnp.sum(tmp[:, :, None, :] * Vx[:, None, :, :], axis=3)  # (N,P,P)
+    y0 = offs_y - half
+    x0 = offs_x - half
+    wys = [jnp.maximum(0.0, 1.0 - jnp.abs(y0 + p - hh)) for p in range(patch)]
+    wxs = [jnp.maximum(0.0, 1.0 - jnp.abs(x0 + q - ww)) for q in range(patch)]
+    cols = []
+    for p in range(patch):
+        wyw = wys[p] * win_flat  # (N, WH·WW)
+        for q in range(patch):
+            cols.append(jnp.sum(wyw * wxs[q], axis=1, keepdims=True))  # (N,1)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (N, patch * patch), 1)
+    out = jnp.zeros((N, patch * patch), jnp.float32)
+    for c, v in enumerate(cols):
+        out = out + jnp.where(ci == c, v, 0.0)
     ok = (
-        (offs_x - half >= 1) & (offs_y - half >= 1)
-        & (offs_x + half <= WW - 2) & (offs_y + half <= WH - 2)
+        (x0 >= 1) & (y0 >= 1) & (x0 + patch <= WW - 2) & (y0 + patch <= WH - 2)
     )  # (N,1)
-    return out.reshape(N, patch * patch), ok
+    return out, ok
 
 
-def _hist_median(x, vis, lo, hi, half_n):
-    """Histogram-median of x[vis] (x, vis (N,P2)) over [lo, hi] — cumulative
-    counts + masked reductions (no argmax-gather, no dynamic_slice)."""
-    span = jnp.maximum(hi - lo, 1e-12)
-    k = jax.lax.broadcasted_iota(jnp.int32, (_HIST_BINS, 1, 1), 0).astype(jnp.float32) + 1.0
-    edges = lo + (k / _HIST_BINS) * span  # (B,1,1)
-    below = (x[None, :, :] <= edges) & vis[None, :, :]  # (B,N,P2)
-    # reduce in two strictly-2D stages (a (B,1,1) result trips Mosaic's
-    # implicit-dim layout check)
-    part = jnp.sum(below.astype(jnp.float32), axis=2)  # (B,N)
-    counts = jnp.sum(part, axis=1, keepdims=True)  # (B,1)
-    reached = counts >= half_n
-    idx = jnp.sum(1.0 - reached.astype(jnp.float32))
-    c_hi = jnp.min(jnp.where(reached, counts, jnp.inf))
-    c_hi = jnp.where(jnp.isfinite(c_hi), c_hi, half_n)
-    c_lo = jnp.max(jnp.where(reached, 0.0, counts))
-    frac = jnp.clip((half_n - c_lo) / jnp.maximum(c_hi - c_lo, 1.0), 0.0, 1.0)
-    return lo + (idx + frac) * (span / _HIST_BINS)
+def _bisect_median(x, vis_f, lo, hi, half_n, steps=_BISECT_STEPS):
+    """Masked median by bisection on the value range — each step is ONE
+    (N, P²)→scalar masked count. Max error (hi−lo)/2^steps, far below the
+    Tukey cutoff's sensitivity (c = 4.685σ)."""
+
+    def body(_, s):
+        lo_, hi_ = s
+        mid = 0.5 * (lo_ + hi_)
+        cnt = jnp.sum(jnp.where(x <= mid, vis_f, 0.0))
+        reach = cnt >= half_n
+        return (jnp.where(reach, lo_, mid), jnp.where(reach, mid, hi_))
+
+    lo_f, hi_f = jax.lax.fori_loop(0, steps, body, (lo, hi))
+    return 0.5 * (lo_f + hi_f)
 
 
-def _hist_mad(r, vis, n_vis):
-    """MAD = median(|r − median(r)|), two histogram passes (mirrors
-    geometry.robust.masked_mad_hist)."""
+def _mad_bisect(r, vis_f, n_vis):
+    """MAD = median(|r − median(r)|), two bisection passes (the in-kernel
+    analog of geometry.robust.masked_mad_hist)."""
     half_n = 0.5 * n_vis
-    lo = jnp.min(jnp.where(vis, r, jnp.inf))
-    hi = jnp.max(jnp.where(vis, r, -jnp.inf))
-    med = _hist_median(r, vis, lo, hi, half_n)
+    big = jnp.asarray(3.0e38, jnp.float32)
+    lo = jnp.min(jnp.where(vis_f > 0.5, r, big))
+    hi = jnp.max(jnp.where(vis_f > 0.5, r, -big))
+    med = _bisect_median(r, vis_f, lo, hi, half_n)
     dev = jnp.abs(r - med)
-    hi2 = jnp.max(jnp.where(vis, dev, 0.0))
-    return _hist_median(dev, vis, jnp.asarray(0.0, jnp.float32), hi2, half_n)
+    hi2 = jnp.max(jnp.where(vis_f > 0.5, dev, 0.0))
+    return _bisect_median(dev, vis_f, jnp.asarray(0.0, jnp.float32), hi2, half_n)
 
 
 def _chol6_scalar(H, g):
@@ -169,9 +187,20 @@ def _mat9_mul(A, B):
     )
 
 
+def _scalar_grid(vals, rows, cols):
+    """Scalars → one 2-D block via one-hot accumulation (Mosaic can neither
+    store scalars to VMEM nor build small 1-D vectors)."""
+    ri = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+    out = jnp.zeros((rows, cols), jnp.float32)
+    for (i, j), v in vals.items():
+        out = out + jnp.where((ri == i) & (ci == j), v, 0.0)
+    return out
+
+
 def _lm_level_kernel(
     pose_ref,  # (3, 4) [R | t] initial
-    win_ref,  # (N, WH, WW)
+    win_ref,  # (N, WH·WW) flat current-image windows
     patch_ref,  # (N, P2)
     J_ref,  # (6, N, P2) — component-major: slicing the minor (lane) dim of an
             # (N, P2, 6) array gives offset layouts Mosaic cannot reduce over
@@ -181,7 +210,8 @@ def _lm_level_kernel(
     intr_ref,  # (1, 4) fx, fy, cx, cy (level-scaled)
     out_pose,  # (3, 4)
     out_stats,  # (1, 4) chi2, n_vis, iters, status
-    *, patch: int, max_iters: int, min_rel_decrease: float,
+    *, patch: int, win_h: int, win_w: int, max_iters: int,
+    min_rel_decrease: float,
 ):
     win = win_ref[...]
     patches = patch_ref[...]
@@ -189,7 +219,7 @@ def _lm_level_kernel(
     pts = pts_ref[...]
     org_x = org_ref[:, 0:1]  # (N,1)
     org_y = org_ref[:, 1:2]
-    base_vis = vis_ref[...] > 0.5  # (N,1)
+    base_vis = vis_ref[...]  # (N,1) f32
     fx = intr_ref[0, 0]
     fy = intr_ref[0, 1]
     cx = intr_ref[0, 2]
@@ -207,18 +237,18 @@ def _lm_level_kernel(
         zs = jnp.where(pz < 1e-6, 1.0, pz)
         u = fx * px / zs + cx - org_x  # (N,1)
         v = fy * py / zs + cy - org_y
-        vals, ok = _sample(win, u, v, patch)
-        vis = base_vis & ok & (pz > 1e-6)  # (N,1)
+        vals, ok = _sample_flat(win, u, v, patch, win_h, win_w)
         # visibility travels as an f32 mask: selecting between BOOL vectors
         # ("arith.select" on i1) does not legalize in Mosaic
-        vis2 = jnp.broadcast_to(vis.astype(jnp.float32), (N, P2))
+        vis1 = ((base_vis > 0.5) & ok & (pz > 1e-6)).astype(jnp.float32)  # (N,1)
+        vis2 = jnp.broadcast_to(vis1, (N, P2))
         r = (vals - patches) * vis2
         return r, vis2
 
     def weights_chi2(r, vis):
         # vis: f32 mask (N,P2)
         n_vis = jnp.maximum(jnp.sum(vis), 1.0)
-        sigma = 1.4826 * _hist_mad(r, vis > 0.5, n_vis)
+        sigma = 1.4826 * _mad_bisect(r, vis, n_vis)
         c = 4.6851 * jnp.maximum(sigma, 1e-12)
         w = (1.0 - (r * r) / (c * c)) ** 2
         w = jnp.where(jnp.abs(r) <= c, w, 0.0) * vis
@@ -228,16 +258,20 @@ def _lm_level_kernel(
     R0 = tuple(pose_ref[i, j] for i in range(3) for j in range(3))
     t0 = tuple(pose_ref[i, 3] for i in range(3))
     r0, vis0 = residuals(R0, t0)
-    w0, chi0, _ = weights_chi2(r0, vis0)
+    _, chi0, _ = weights_chi2(r0, vis0)
 
     def cond(state):
         it, done = state[0], state[1]
         return (it < max_iters) & jnp.logical_not(done)
 
     def body(state):
-        (it, done, chi, lam, nu, w, r, vis) = state[:8]
-        R = state[8:17]
-        t = state[17:20]
+        (it, done, chi, lam, nu) = state[:5]
+        R = state[5:14]
+        t = state[14:17]
+        # recompute residuals/weights at the carried pose: the loop carry
+        # stays scalar-only (vector carries break Mosaic layout inference)
+        r, vis = residuals(R, t)
+        w, _, _ = weights_chi2(r, vis)
         wv = w * vis
         # H, g as scalars via full 2-D reductions over component-major J
         H = {}
@@ -265,7 +299,7 @@ def _lm_level_kernel(
             R[6] * dt[0] + R[7] * dt[1] + R[8] * dt[2] + t[2],
         )
         r_n, vis_n = residuals(R_new, t_new)
-        w_n, chi_n, _ = weights_chi2(r_n, vis_n)
+        _, chi_n, _ = weights_chi2(r_n, vis_n)
         pred = sum(d * (lam_eff * d + gi) for d, gi in zip(dx, g))
         rho = (chi - chi_n) / jnp.maximum(pred, 1e-30)
         success = (chi - chi_n) > 0.0
@@ -286,40 +320,26 @@ def _lm_level_kernel(
         R_out = tuple(jnp.where(accept, a, b) for a, b in zip(R_new, R))
         t_out = tuple(jnp.where(accept, a, b) for a, b in zip(t_new, t))
         chi_out = jnp.where(accept, chi_n, chi)
-        w_out = jnp.where(accept, w_n, w)
-        r_out = jnp.where(accept, r_n, r)
-        vis_out = jnp.where(accept, vis_n, vis)
-        return (it + 1, done_n, chi_out, lam_next, nu_next, w_out, r_out,
-                vis_out) + R_out + t_out
+        return (it + 1, done_n, chi_out, lam_next, nu_next) + R_out + t_out
 
     init = (
         jnp.asarray(0, jnp.int32), jnp.asarray(False), chi0,
         jnp.asarray(1e-2, jnp.float32), jnp.asarray(2.0, jnp.float32),
-        w0, r0, vis0,
     ) + R0 + t0
     final = jax.lax.while_loop(cond, body, init)
-    it_f, chi_f, vis_f = final[0], final[2], final[7]
-    R_f = final[8:17]
-    t_f = final[17:20]
+    it_f, chi_f = final[0], final[2]
+    R_f = final[5:14]
+    t_f = final[14:17]
+    _, vis_f = residuals(R_f, t_f)
     n_vis = jnp.maximum(jnp.sum(vis_f), 1.0)
-
-    # scalars → 2-D blocks via one-hot accumulation: Mosaic can neither store
-    # scalars to VMEM nor build small 1-D vectors (layout-rank check)
-    def scalar_grid(vals, rows, cols):
-        ri = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
-        ci = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
-        out = jnp.zeros((rows, cols), jnp.float32)
-        for (i, j), v in vals.items():
-            out = out + jnp.where((ri == i) & (ci == j), v, 0.0)
-        return out
 
     pose_vals = {}
     for i in range(3):
         for j in range(3):
             pose_vals[(i, j)] = R_f[3 * i + j]
         pose_vals[(i, 3)] = t_f[i]
-    out_pose[...] = scalar_grid(pose_vals, 3, 4)
-    out_stats[...] = scalar_grid(
+    out_pose[...] = _scalar_grid(pose_vals, 3, 4)
+    out_stats[...] = _scalar_grid(
         {(0, 0): chi_f, (0, 1): n_vis, (0, 2): it_f.astype(jnp.float32),
          (0, 3): jnp.asarray(0.0, jnp.float32)}, 1, 4,
     )
@@ -345,12 +365,13 @@ def lm_align_level(
 ) -> Tuple[SE3, jax.Array, jax.Array]:
     """One fused-LM pyramid level. Returns (T, rmse, iterations)."""
     f32 = jnp.float32
+    N, WH, WW = windows.shape
     pose = jnp.concatenate(
         [T_init.rotation.astype(f32), T_init.translation.astype(f32)[:, None]], axis=1
     )
     intr = jnp.stack([fx, fy, cx, cy]).astype(f32).reshape(1, 4)
     kernel = functools.partial(
-        _lm_level_kernel, patch=patch, max_iters=max_iters,
+        _lm_level_kernel, patch=patch, win_h=WH, win_w=WW, max_iters=max_iters,
         min_rel_decrease=min_rel_decrease,
     )
     out_pose, out_stats = pl.pallas_call(
@@ -366,7 +387,7 @@ def lm_align_level(
         ),
         interpret=interpret,
     )(
-        pose, windows.astype(f32), ref_patches.astype(f32),
+        pose, windows.astype(f32).reshape(N, WH * WW), ref_patches.astype(f32),
         jnp.transpose(J.astype(f32), (2, 0, 1)),  # (6, N, P2) component-major
         points_ref.astype(f32), origins.astype(f32),
         visible.astype(f32)[:, None], intr,

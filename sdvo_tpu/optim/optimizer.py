@@ -35,7 +35,12 @@ from sdvo_tpu.geometry.robust import masked_mad, masked_mad_hist
 
 class LevenbergMethod(enum.Enum):
     MARQUARDT = "marquardt"  # H += lambda * diag(H); lambda /9 or *11
-    QUADRATIC = "quadratic"  # (reference keeps this branch disabled; we map it to Nielsen)
+    # Quadratic line-fit damping: alpha = gᵀdx/(Δchi²/2 + 2gᵀdx) rescales the
+    # accepted step; lambda /= (1+alpha) on success, += |Δchi²|/(2alpha) on
+    # failure. The reference declares this strategy (include/optimizer.hpp:14-19)
+    # but ships the branch commented out (src/optimizer.cpp:427-447); here it
+    # is a real working implementation of that commented algebra.
+    QUADRATIC = "quadratic"
     NIELSEN = "nielsen"  # H += lambda * I; Nielsen's nu schedule
 
 
@@ -230,6 +235,7 @@ def optimize_lm(
     """
     method = LevenbergMethod(settings.method) if not isinstance(settings.method, LevenbergMethod) else settings.method
     use_marquardt = method == LevenbergMethod.MARQUARDT
+    use_quadratic = method == LevenbergMethod.QUADRATIC
 
     r0, vis0 = residual_fn(params0)
     dtype = r0.dtype
@@ -297,6 +303,26 @@ def optimize_lm(
         w_new = _weights_for(settings.estimator, r_new, vis_new, settings.mad, sigma0)
         chi_new = _chi2(r_new, w_new, vis_new)
 
+        if use_quadratic:
+            # quadratic line fit along dx (src/optimizer.cpp:427-447, the
+            # reference's commented-out branch, implemented for real): the
+            # model chi²(alpha·dx) ≈ chi² − alpha·gᵀdx + alpha²(gᵀdx + Δ/2)
+            # is minimized at alpha = gᵀdx/(Δ/2 + 2gᵀdx); the ACCEPTED step
+            # is rescaled by alpha and re-evaluated.
+            gTdx = jnp.sum(g * dx)
+            diff = s.chi2 - chi_new
+            denom_a = 0.5 * diff + 2.0 * gTdx
+            alpha = jnp.where(
+                jnp.abs(denom_a) > jnp.finfo(dtype).tiny, gTdx / denom_a, 1.0
+            )
+            alpha = jnp.where(jnp.isfinite(alpha) & (alpha > 0.0), alpha, 1.0)
+            new_params = update_fn(s.params, alpha * dx)
+            r_new, vis_new = residual_fn(new_params)
+            w_new = _weights_for(settings.estimator, r_new, vis_new, settings.mad, sigma0)
+            chi_q = _chi2(r_new, w_new, vis_new)
+            # acceptance is judged on the re-evaluated alpha step
+            chi_new = chi_q
+
         # Gain ratio rho = actual decrease / predicted decrease. The reference
         # feeds the RAW chi2 difference into Nielsen's formula
         # (src/optimizer.cpp:441-455) — which only behaves when chi2 is large;
@@ -314,6 +340,13 @@ def optimize_lm(
                 success,
                 jnp.maximum(lam / 9.0, 1e-7),
                 jnp.minimum(lam * 11.0, 1e7),
+            )
+            nu_next = s.nu
+        elif use_quadratic:
+            lam_next = jnp.where(
+                success,
+                jnp.maximum(lam / (1.0 + alpha), 1e-7),
+                lam + jnp.abs(diff) / jnp.maximum(2.0 * alpha, jnp.finfo(dtype).tiny),
             )
             nu_next = s.nu
         else:

@@ -3,10 +3,13 @@ verify state equality (SURVEY §5 aux-subsystem plan — the reference has no
 checkpointing)."""
 
 import numpy as np
+import pytest
 
 from sdvo_tpu.pipeline.system import System, SystemStatus
 
 from test_pipeline_e2e import _make_system, make_sequence
+
+pytestmark = pytest.mark.slow  # full e2e — excluded from `pytest -m 'not slow'`
 
 
 def test_checkpoint_roundtrip(tmp_path):

@@ -15,6 +15,8 @@ from sdvo_tpu.pipeline.system import SystemStatus
 
 from test_pipeline_e2e import CAM, make_sequence
 
+pytestmark = pytest.mark.slow  # full e2e — excluded from `pytest -m 'not slow'`
+
 
 def _make(n_chunk_supersteps=2):
     config = load_config(

@@ -27,6 +27,8 @@ from sdvo_tpu.pipeline.device_system import DeviceSystem
 
 from synthetic import render_ridge, smooth_texture
 
+pytestmark = pytest.mark.slow  # full e2e — excluded from `pytest -m 'not slow'`
+
 CAM = dict(fx=320.0, fy=320.0, cx=160.0, cy=120.0, width=320, height=240)
 N_FRAMES = 300
 BLACKOUT = range(150, 159)

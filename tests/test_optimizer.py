@@ -132,6 +132,20 @@ def test_lm_marquardt_method(rng):
     assert err < 0.01
 
 
+def test_lm_quadratic_method(rng):
+    """The quadratic line-fit damping (reference include/optimizer.hpp:14-19,
+    implemented from the commented algebra of src/optimizer.cpp:427-447) is a
+    real third strategy, not an alias: it must converge on its own."""
+    T_true, res, jac, upd = _point_alignment_problem(rng, noise=0.001)
+    upd_neg = lambda T, dx: T.compose(se3.exp(-dx))
+    T_est, rmse, _ = optimize_lm(
+        SE3.identity(dtype=jnp.float64), res, jac, upd_neg,
+        LMSettings(method="quadratic", max_iterations=30),
+    )
+    err = np.linalg.norm(np.asarray(se3.log(T_est.compose(T_true.inverse()))))
+    assert err < 0.01
+
+
 def test_hist_mad_matches_exact(rng):
     from sdvo_tpu.geometry.robust import masked_mad, masked_mad_hist
 

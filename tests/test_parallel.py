@@ -20,6 +20,8 @@ from sdvo_tpu.parallel.mesh import make_vo_mesh
 from synthetic import render_plane, smooth_texture
 from test_bundle_adjustment import _window_problem, _pose_err, FX, FY, CX, CY
 
+pytestmark = pytest.mark.slow  # full e2e — excluded from `pytest -m 'not slow'`
+
 
 def test_mesh_axes():
     mesh = make_vo_mesh(num_seq=4, num_shard=2)

@@ -16,6 +16,8 @@ from sdvo_tpu.pipeline.system import FrameResult, System, SystemStatus
 
 from synthetic import render_plane, render_ridge, smooth_texture
 
+pytestmark = pytest.mark.slow  # full e2e — excluded from `pytest -m 'not slow'`
+
 CAM = dict(fx=320.0, fy=320.0, cx=160.0, cy=120.0, width=320, height=240)
 PLANE_Z = 10.0
 

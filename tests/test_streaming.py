@@ -1,9 +1,12 @@
 """Device-resident streaming tracker: lax.scan over a chunk of frames."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from tests.synthetic import *  # noqa: F401,F403  (fixtures if any)
+
+pytestmark = pytest.mark.slow  # full e2e — excluded from `pytest -m 'not slow'`
 
 
 def _np_se3_exp(tau):
