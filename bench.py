@@ -49,7 +49,8 @@ REFERENCE_FPS = 49.9  # measured: tools/ref_proxy_bench.cpp (see BASELINE.md)
 H, W = 376, 1241
 FX = FY = 721.5377
 CX, CY = 609.5593, 172.854
-SUPERSTEPS_PER_CHUNK = 8
+SUPERSTEPS_PER_CHUNK = 24  # 72 frames/dispatch: amortizes the host-link RTT
+                           # (~26 ms on a bad tunnel day) to ~0.4 ms/frame
 N_CHUNKS_TIMED = 3
 DTYPE = jnp.float32
 

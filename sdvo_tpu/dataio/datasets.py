@@ -56,6 +56,66 @@ def load_camera_yaml(path: str) -> Tuple[np.ndarray, np.ndarray]:
     return K, d[:5]
 
 
+def load_euroc_sequence(folder: str, cam: str = "cam0"):
+    """EuRoC MAV ASL-format sequence reader (BASELINE config 2).
+
+    ``folder`` is the sequence root (e.g. ``MH_01_easy/mav0``) or the camera
+    directory itself. Returns (image_paths, timestamps_sec, calib dict) where
+    calib holds ``K`` (3×3), ``dist`` (5,) radtan-padded, ``width``/``height``
+    — parsed from the ASL ``sensor.yaml`` (camera model: pinhole,
+    distortion_model: radial-tangential) without a YAML dependency.
+
+    The reference has no EuRoC loader (it ships KITTI/denso YAMLs only,
+    resource/*.yaml); this extends the same ``System::loadCameraIntrinsics``
+    surface (src/system.cpp:612-633) to the ASL layout.
+    """
+    cam_dir = folder
+    if os.path.isdir(os.path.join(folder, cam)):
+        cam_dir = os.path.join(folder, cam)
+    data_dir = os.path.join(cam_dir, "data")
+    csv_path = os.path.join(cam_dir, "data.csv")
+    yaml_path = os.path.join(cam_dir, "sensor.yaml")
+
+    stamps, paths = [], []
+    if os.path.exists(csv_path):
+        with open(csv_path) as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                ts, fname = line.split(",")[:2]
+                p = os.path.join(data_dir, fname.strip())
+                if os.path.exists(p):
+                    stamps.append(float(ts) * 1e-9)  # ns → s
+                    paths.append(p)
+    else:
+        paths = list_image_files(data_dir)
+        # ASL filenames are the nanosecond timestamps
+        for p in paths:
+            stem = os.path.splitext(os.path.basename(p))[0]
+            stamps.append(float(stem) * 1e-9 if stem.isdigit() else float(len(stamps)))
+
+    calib = {"K": np.eye(3), "dist": np.zeros(5), "width": 752, "height": 480}
+    if os.path.exists(yaml_path):
+        with open(yaml_path) as f:
+            text = f.read()
+        intr = re.search(r"intrinsics:\s*\[(.*?)\]", text, re.S)
+        if intr:
+            fu, fv, cu, cv = [float(x) for x in intr.group(1).split(",")]
+            calib["K"] = np.asarray([[fu, 0, cu], [0, fv, cv], [0, 0, 1.0]])
+        dist = re.search(r"distortion_coefficients:\s*\[(.*?)\]", text, re.S)
+        if dist:
+            d = np.asarray([float(x) for x in dist.group(1).split(",")])
+            # ASL radtan is [k1, k2, p1, p2]; the pipeline's 5-vector is
+            # [k1, k2, p1, p2, k3]
+            calib["dist"] = np.concatenate([d, np.zeros(max(0, 5 - d.shape[0]))])[:5]
+        res = re.search(r"resolution:\s*\[(.*?)\]", text, re.S)
+        if res:
+            w, h = [int(float(x)) for x in res.group(1).split(",")]
+            calib["width"], calib["height"] = w, h
+    return paths, np.asarray(stamps), calib
+
+
 def load_kitti_calib(calib_path: str, cam: int = 0) -> np.ndarray:
     """KITTI odometry calib.txt → 3x4 projection matrix P{cam}."""
     with open(calib_path) as f:

@@ -269,6 +269,11 @@ def alloc_free_slots(valid: jax.Array, n: int) -> Tuple[jax.Array, jax.Array]:
     Returns (slots (n,) int32, ok (n,) bool) — ok is False where fewer than n
     slots were free (XLA top_k is stable: equal keys resolve to lower index).
     """
+    size = valid.shape[0]
+    k = min(n, size)  # requesting more slots than exist: the excess is ok=False
     free = (~valid).astype(jnp.int32)
-    val, slots = jax.lax.top_k(free, n)
+    val, slots = jax.lax.top_k(free, k)
+    if k < n:
+        slots = jnp.concatenate([slots, jnp.zeros((n - k,), slots.dtype)])
+        val = jnp.concatenate([val, jnp.zeros((n - k,), val.dtype)])
     return slots.astype(jnp.int32), val > 0

@@ -590,7 +590,8 @@ class DeviceVO:
             m.kf_pose(), m.pt_pos[sel_p].astype(dtype), obs,
             table, fixed_cam, ~p_live,
             cam.fx, cam.fy, cam.cx, cam.cy,
-            settings=BASettings(iterations=cfg.ba_iterations, huber_delta=2.0),
+            settings=BASettings(iterations=cfg.ba_iterations, huber_delta=2.0,
+                                min_rel_decrease=1e-3),
             num_cams=K,
         )
         kf_R = jnp.where(do_ba, _orthonormalize(poses_out.rotation), m.kf_R)

@@ -22,10 +22,10 @@ CAM = dict(fx=320.0, fy=320.0, cx=160.0, cy=120.0, width=320, height=240)
 PLANE_Z = 10.0
 
 
-def make_sequence(rng, n_frames=12, step=None):
+def make_sequence(rng, n_frames=12, step=None, cam_override=None):
     """Sideways-dominant dolly over a two-depth ridge scene (a single plane
     would make the essential-matrix bootstrap degenerate)."""
-    cam = PinholeCamera.create(**CAM, dtype=jnp.float64)
+    cam = PinholeCamera.create(**(cam_override or CAM), dtype=jnp.float64)
     tex = smooth_texture(rng, size=3072, blur=13)
     poses = []
     images = []
