@@ -80,6 +80,33 @@ class LMSettings(NamedTuple):
     # several kernels per iteration; the reference recomputes per iteration
     # (src/optimizer.cpp:485-514) — the default keeps that behavior.
     freeze_sigma: bool = False
+    # emit post-solve diagnostics (final residuals, weights, visibility mask,
+    # JᵀWJ) to the sink installed with set_diagnostics_sink — the reference's
+    # Optimizer::visualize flag (src/optimizer.cpp:516-599). Off the hot path:
+    # one extra Jacobian/Hessian evaluation and a host callback per solve.
+    visualize: bool = False
+    viz_tag: str = ""
+
+
+# --- optimizer diagnostics sink (Optimizer::visualize, the matplotlib-cpp
+# bridge of the reference, src/optimizer.cpp:516-599 / visualization.cpp:
+# 597-844). The sink runs on HOST via jax.debug.callback after the solve.
+_DIAGNOSTICS_SINK = None
+
+
+def set_diagnostics_sink(fn) -> None:
+    """Install fn(tag, residuals, weights, visible, H) — np arrays — or None."""
+    global _DIAGNOSTICS_SINK
+    _DIAGNOSTICS_SINK = fn
+
+
+def _dispatch_diagnostics(tag: str, r, w, vis, H) -> None:
+    if _DIAGNOSTICS_SINK is not None:
+        import numpy as _np
+
+        _DIAGNOSTICS_SINK(
+            tag, _np.asarray(r), _np.asarray(w), _np.asarray(vis), _np.asarray(H)
+        )
 
 
 def tukey_weights(
@@ -404,6 +431,18 @@ def optimize_lm(
     final = jax.lax.while_loop(cond, body, init)
     n_vis = jnp.maximum(jnp.sum(final.visible.astype(dtype)), 1.0)
     rmse = jnp.sqrt(final.chi2 / n_vis)
+    if settings.visualize:
+        # post-solve diagnostics at the FINAL iterate (the reference calls
+        # visualize() with the last residual/weight/Hessian state,
+        # src/optimizer.cpp:516-599); off the hot path by construction —
+        # callers enable it per solve via settings
+        J_f = jacobian_fn(final.params)
+        wv_f = jnp.where(final.visible, final.weights, 0.0)
+        H_f = J_f.T @ (J_f * wv_f[:, None])
+        jax.debug.callback(
+            partial(_dispatch_diagnostics, settings.viz_tag),
+            final.residuals, final.weights, final.visible, H_f,
+        )
     return final.params, rmse, final.status
 
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import enum
 import logging
+import os
 import time
 from typing import Dict, List, Optional
 
@@ -107,10 +108,27 @@ class System:
         )
         self.arena.intrinsics = (camera.fx, camera.fy, camera.cx, camera.cy)
         self.selector = FeatureSelection(self.width, self.height, cfg_a.cell_pixel_size)
+        align_settings = SparseImageAlign.DEFAULT_SETTINGS
+        if config.visualization.enable_visualization:
+            # optimizer-wired diagnostics (Optimizer::visualize,
+            # src/optimizer.cpp:516-599): post-solve residual/weight
+            # histograms + Hessian heatmap per alignment solve, written under
+            # <output_dir>/diagnostics. The pallas backend keeps the solve
+            # in-kernel, so diagnostics runs force the XLA backend.
+            from sdvo_tpu.viz.diagnostics import FileDiagnosticsSink
+
+            FileDiagnosticsSink(
+                os.path.join(config.file_paths.output_dir, "diagnostics")
+            ).install()
+            align_settings = align_settings._replace(
+                visualize=True, viz_tag="image_alignment"
+            )
         self.aligner = SparseImageAlign(
             patch_size=cfg_a.patch_size_image_alignment,
             min_level=cfg_a.min_level_image_pyramid,
             max_level=cfg_a.max_level_image_pyramid,
+            settings=align_settings,
+            backend="xla" if config.visualization.enable_visualization else "auto",
         )
         self.num_levels = cfg_a.max_level_image_pyramid + 1
 
@@ -640,7 +658,15 @@ class System:
             jnp.asarray(frame.pose_wc[:3, 3], self.dtype),
         )
         valid = jnp.ones((len(rep.pt_slot),), bool)
-        T_out, rmse, status = optimize_pose(T0, pts_w, bearings, valid)
+        pose_settings = None
+        if self.config.visualization.enable_visualization:
+            from sdvo_tpu.optim.optimizer import LMSettings
+
+            pose_settings = LMSettings(
+                max_iterations=15, visualize=True, viz_tag="pose_refine"
+            )
+        T_out, rmse, status = optimize_pose(T0, pts_w, bearings, valid,
+                                            settings=pose_settings)
         from sdvo_tpu.ba.bundle_adjustment import pose_covariance
 
         frame.pose_cov = np.asarray(pose_covariance(T_out, pts_w, bearings, valid), np.float64)

@@ -88,6 +88,17 @@ def test_visualization_gated_dumps(rng, tmp_path):
     stages = {os.path.basename(p).split("_", 1)[1] for p in pngs}
     assert "detect.png" in stages and "reproject.png" in stages, pngs
 
+    # optimizer-wired diagnostics (Optimizer::visualize,
+    # /root/reference/src/optimizer.cpp:516-599): every alignment solve
+    # dumps residual/weight histograms + the Hessian heatmap
+    diags = sorted(glob.glob(os.path.join(str(tmp_path), "diagnostics", "*.png")))
+    kinds = {os.path.basename(p).rsplit("_", 1)[1] for p in diags}
+    assert {"residuals.png", "weights.png", "hessian.png"} <= kinds, diags
+    assert any("image_alignment" in os.path.basename(p) for p in diags)
+    from sdvo_tpu.optim.optimizer import set_diagnostics_sink
+
+    set_diagnostics_sink(None)  # don't leak the sink into other tests
+
     # default config: no dumps
     config_off = load_config(overrides=over)
     sys_off = System(config_off, camera=cam)
