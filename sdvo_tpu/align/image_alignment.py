@@ -287,10 +287,14 @@ class SparseImageAlign:
             if self.backend == "pallas":
                 from sdvo_tpu.ops.pallas_lm import lm_align_level
 
+                # pyramid iteration budget: coarse levels absorb the motion
+                # (full budget), fine levels only polish a sub-pixel basin —
+                # each saved iteration is a full sample+solve pass in-kernel
+                its = max(4, self.settings.max_iterations - 2 * (self.max_level - level))
                 T, rmse, _iters = lm_align_level(
                     T, win_cur, patches, J3, feats.points_ref, org_c, visible,
                     fx * scale, fy * scale, cx * scale, cy * scale,
-                    patch=P, max_iters=self.settings.max_iterations,
+                    patch=P, max_iters=its,
                     min_rel_decrease=self.settings.min_rel_decrease,
                     interpret=self._interpret,
                 )

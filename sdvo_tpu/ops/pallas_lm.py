@@ -210,6 +210,9 @@ def _lm_level_kernel(
     intr_ref,  # (1, 4) fx, fy, cx, cy (level-scaled)
     out_pose,  # (3, 4)
     out_stats,  # (1, 4) chi2, n_vis, iters, status
+    r_scr,  # VMEM (N, P2) scratch: residuals at the accepted pose
+    vis_scr,  # VMEM (N, P2) scratch: visibility mask at the accepted pose
+    w_scr,  # VMEM (N, P2) scratch: Tukey weights at the accepted pose
     *, patch: int, win_h: int, win_w: int, max_iters: int,
     min_rel_decrease: float,
 ):
@@ -258,7 +261,14 @@ def _lm_level_kernel(
     R0 = tuple(pose_ref[i, j] for i in range(3) for j in range(3))
     t0 = tuple(pose_ref[i, 3] for i in range(3))
     r0, vis0 = residuals(R0, t0)
-    _, chi0, _ = weights_chi2(r0, vis0)
+    w0, chi0, _ = weights_chi2(r0, vis0)
+    # the accepted-state residual/visibility/weight VECTORS travel through
+    # VMEM scratch: the while-loop carry must stay scalar-only (vector carries
+    # break Mosaic layout inference), and recomputing them from the pose every
+    # iteration would double the sampling+MAD cost
+    r_scr[...] = r0
+    vis_scr[...] = vis0
+    w_scr[...] = w0
 
     def cond(state):
         it, done = state[0], state[1]
@@ -268,10 +278,9 @@ def _lm_level_kernel(
         (it, done, chi, lam, nu) = state[:5]
         R = state[5:14]
         t = state[14:17]
-        # recompute residuals/weights at the carried pose: the loop carry
-        # stays scalar-only (vector carries break Mosaic layout inference)
-        r, vis = residuals(R, t)
-        w, _, _ = weights_chi2(r, vis)
+        r = r_scr[...]
+        vis = vis_scr[...]
+        w = w_scr[...]
         wv = w * vis
         # H, g as scalars via full 2-D reductions over component-major J
         H = {}
@@ -299,7 +308,7 @@ def _lm_level_kernel(
             R[6] * dt[0] + R[7] * dt[1] + R[8] * dt[2] + t[2],
         )
         r_n, vis_n = residuals(R_new, t_new)
-        _, chi_n, _ = weights_chi2(r_n, vis_n)
+        w_n, chi_n, _ = weights_chi2(r_n, vis_n)
         pred = sum(d * (lam_eff * d + gi) for d, gi in zip(dx, g))
         rho = (chi - chi_n) / jnp.maximum(pred, 1e-30)
         success = (chi - chi_n) > 0.0
@@ -320,6 +329,10 @@ def _lm_level_kernel(
         R_out = tuple(jnp.where(accept, a, b) for a, b in zip(R_new, R))
         t_out = tuple(jnp.where(accept, a, b) for a, b in zip(t_new, t))
         chi_out = jnp.where(accept, chi_n, chi)
+        acc_f = jnp.where(accept, 1.0, 0.0)
+        r_scr[...] = r * (1.0 - acc_f) + r_n * acc_f
+        vis_scr[...] = vis * (1.0 - acc_f) + vis_n * acc_f
+        w_scr[...] = w * (1.0 - acc_f) + w_n * acc_f
         return (it + 1, done_n, chi_out, lam_next, nu_next) + R_out + t_out
 
     init = (
@@ -330,8 +343,7 @@ def _lm_level_kernel(
     it_f, chi_f = final[0], final[2]
     R_f = final[5:14]
     t_f = final[14:17]
-    _, vis_f = residuals(R_f, t_f)
-    n_vis = jnp.maximum(jnp.sum(vis_f), 1.0)
+    n_vis = jnp.maximum(jnp.sum(vis_scr[...]), 1.0)
 
     pose_vals = {}
     for i in range(3):
@@ -374,6 +386,7 @@ def lm_align_level(
         _lm_level_kernel, patch=patch, win_h=WH, win_w=WW, max_iters=max_iters,
         min_rel_decrease=min_rel_decrease,
     )
+    P2 = patch * patch
     out_pose, out_stats = pl.pallas_call(
         kernel,
         out_shape=(
@@ -385,6 +398,11 @@ def lm_align_level(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((N, P2), f32),  # accepted residuals
+            pltpu.VMEM((N, P2), f32),  # accepted visibility
+            pltpu.VMEM((N, P2), f32),  # accepted Tukey weights
+        ],
         interpret=interpret,
     )(
         pose, windows.astype(f32).reshape(N, WH * WW), ref_patches.astype(f32),

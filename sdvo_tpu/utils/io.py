@@ -58,3 +58,42 @@ def read_debug_dump(path: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
                 uvs.append(vals[:2])
                 pts.append(vals[2:5])
     return pose, np.asarray(uvs), np.asarray(pts)
+
+
+def write_all_info_file(path: str, ref_uv: np.ndarray, cur_uv: np.ndarray,
+                        points_w: np.ndarray):
+    """Reference-format debug rows: ``refx refy curx cury px py pz`` per
+    feature pair — byte-compatible with ``utils::writeAllInfoFile``
+    (/root/reference/src/utils.cpp:54-64), so dumps interchange with the
+    reference's readAllFromFile."""
+    with open(path, "w") as f:
+        for r, c, p in zip(np.asarray(ref_uv), np.asarray(cur_uv), np.asarray(points_w)):
+            f.write(f"{r[0]:.6g} {r[1]:.6g} {c[0]:.6g} {c[1]:.6g} "
+                    f"{p[0]:.6g} {p[1]:.6g} {p[2]:.6g}\n")
+
+
+def read_all_from_file(path: str):
+    """Inverse of write_all_info_file (utils::readAllFromFile,
+    /root/reference/src/utils.cpp:77-100). Returns (ref_uv, cur_uv, points)."""
+    vals = np.loadtxt(path, ndmin=2)
+    if vals.size == 0:
+        z = np.zeros((0, 2))
+        return z, z.copy(), np.zeros((0, 3))
+    return vals[:, 0:2], vals[:, 2:4], vals[:, 4:7]
+
+
+def write_features_info_file(path: str, ref_uv: np.ndarray, cur_uv: np.ndarray):
+    """``refx refy curx cury`` rows (utils::writeFeaturesInfoFile,
+    /root/reference/src/utils.cpp:66-75)."""
+    with open(path, "w") as f:
+        for r, c in zip(np.asarray(ref_uv), np.asarray(cur_uv)):
+            f.write(f"{r[0]:.6g} {r[1]:.6g} {c[0]:.6g} {c[1]:.6g}\n")
+
+
+def read_features_from_file(path: str):
+    """Inverse of write_features_info_file (utils::readFeaturesFromFile)."""
+    vals = np.loadtxt(path, ndmin=2)
+    if vals.size == 0:
+        z = np.zeros((0, 2))
+        return z, z.copy()
+    return vals[:, 0:2], vals[:, 2:4]

@@ -88,6 +88,37 @@ def test_viz_overlays(tmp_path):
     assert stacked.shape[0] == 2 * 60 + 8
 
 
+def test_viz_extended_suite(tmp_path, rng):
+    """The remaining visualization.cpp surface: candidates by type, epipole,
+    obs-vs-projection overlay, depth-filter projection, F-matrix epipolar
+    lines, residual mosaics, HSV magnitude, horizontal stacking."""
+    from sdvo_tpu.viz.overlays import (
+        draw_candidates, draw_epipole, draw_epipolar_lines_fundamental,
+        draw_points_and_projections, generate_color, get_color_image,
+        get_gray_image, hsv_image_with_magnitude, project_depth_filters,
+        residual_patch_mosaic, stack_horizontally,
+    )
+
+    img = get_color_image(rng.uniform(0, 255, (120, 160)))
+    uv = rng.uniform(10, 100, (8, 2))
+    types = np.asarray([0, 1, 2, 3, 0, 1, 2, 3])
+    out = draw_candidates(img, uv, types)
+    out = draw_epipole(out, np.asarray([80.0, 60.0]))
+    out = draw_points_and_projections(out, uv, uv + rng.normal(0, 2, uv.shape))
+    out = project_depth_filters(out, uv, rng.uniform(0.05, 0.2, 8), rng.uniform(0.001, 0.05, 8))
+    F = rng.normal(size=(3, 3))
+    out = draw_epipolar_lines_fundamental(out, uv[:3], F)
+    assert out.shape == img.shape and out.dtype == np.uint8
+    assert get_gray_image(out).shape == (120, 160)
+    assert hsv_image_with_magnitude(rng.uniform(0, 50, (60, 80))).shape == (60, 80, 3)
+    m = residual_patch_mosaic(rng.uniform(0, 255, (6, 25)), rng.uniform(0, 255, (6, 25)), 5)
+    assert m.size > 0 and m.shape[0] >= 5
+    s2 = stack_horizontally(img, img[:80])
+    assert s2.shape[1] == 2 * 160 + 8
+    c = generate_color(0.5, 0.0, 1.0)
+    assert len(c) == 3 and all(0 <= v <= 255 for v in c)
+
+
 def test_plots(tmp_path):
     from sdvo_tpu.viz.plots import draw_histogram, hessian_heatmap
 
@@ -107,6 +138,26 @@ def test_debug_dump_roundtrip(tmp_path):
     np.testing.assert_allclose(pose2, pose)
     np.testing.assert_allclose(uv2, uv)
     np.testing.assert_allclose(pts2, pts)
+
+
+def test_reference_format_dumps_roundtrip(tmp_path, rng):
+    """The reference's exact two-frame debug rows (utils.cpp:54-117)."""
+    from sdvo_tpu.utils.io import (
+        read_all_from_file, read_features_from_file,
+        write_all_info_file, write_features_info_file,
+    )
+    ref = rng.uniform(0, 100, (5, 2))
+    cur = rng.uniform(0, 100, (5, 2))
+    pts = rng.uniform(-5, 5, (5, 3))
+    p1 = str(tmp_path / "all.txt")
+    write_all_info_file(p1, ref, cur, pts)
+    r2, c2, p2 = read_all_from_file(p1)
+    np.testing.assert_allclose(r2, ref, rtol=1e-5)
+    np.testing.assert_allclose(p2, pts, rtol=1e-5)
+    p3 = str(tmp_path / "feats.txt")
+    write_features_info_file(p3, ref, cur)
+    r3, c3 = read_features_from_file(p3)
+    np.testing.assert_allclose(c3, cur, rtol=1e-5)
 
 
 def test_umeyama_recovers_similarity(rng):

@@ -1,9 +1,14 @@
 #!/usr/bin/env python
 """Scaling-efficiency harness for distributed (landmark-sharded) Schur BA.
 
-Times ``distributed_local_ba`` at REALISTIC window sizes (K=7 keyframes,
-P=2048 landmarks, M≈10k observations — a dense KITTI local-BA window) on
-1/2/4/8-device meshes and reports weak+strong scaling efficiency.
+Times ``distributed_local_ba`` on 1/2/4/8-device meshes and reports strong-
+scaling efficiency. The DEFAULT workload is BASELINE config 5's global-map
+shape — K=16 keyframes, P=32768 landmarks, M≈128k observations (the "all
+sequences, map-block sharding" refinement) — where each shard carries real
+arithmetic (the Schur fill-in is a (96×3P_s)·(3P_s×96) matmul per shard) so
+the (6K)² psum has something to hide behind. ``--points 2048 --cams 7`` gives
+the old single-window shape, whose ~0.5 ms/shard is pure-overhead territory
+and does not scale (SCALING.json r3).
 
 On this rig multi-chip hardware is unavailable, so the default run uses the
 virtual CPU mesh (``--xla_force_host_platform_device_count``): collectives
@@ -31,10 +36,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--devices", type=int, default=8)
-    ap.add_argument("--points", type=int, default=2048)
-    ap.add_argument("--cams", type=int, default=7)
-    ap.add_argument("--obs-per-point", type=int, default=5)
-    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--points", type=int, default=32768)
+    ap.add_argument("--cams", type=int, default=16)
+    ap.add_argument("--obs-per-point", type=int, default=4)
+    ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--real-devices", action="store_true",
                     help="use the attached accelerator devices (pods); default "
                          "is the virtual CPU mesh — probing jax.devices() first "
@@ -73,19 +78,16 @@ def main():
     FX = FY = 721.5377
     CX, CY = 609.5593, 172.854
 
-    cam_idx, pt_idx, uvs = [], [], []
-    for p in range(Pn):
-        for k in sorted(rng.choice(K, size=OBS, replace=False)):
-            T = SE3(poses_gt.rotation[k], poses_gt.translation[k])
-            pc = np.asarray(T.apply(jnp.asarray(pts_w[p], jnp.float32)))
-            cam_idx.append(k)
-            pt_idx.append(p)
-            uvs.append([FX * pc[0] / pc[2] + CX + rng.normal() * 0.3,
-                        FY * pc[1] / pc[2] + CY + rng.normal() * 0.3])
-    cam_idx = np.asarray(cam_idx, np.int32)
-    pt_idx = np.asarray(pt_idx, np.int32)
-    uvs = np.asarray(uvs)
-    valid = np.ones(len(cam_idx), bool)
+    # vectorized synthesis: each point seen by OBS distinct cameras
+    obs_cams = np.argsort(rng.random((Pn, K)), axis=1)[:, :OBS]
+    pt_idx = np.repeat(np.arange(Pn, dtype=np.int32), OBS)
+    cam_idx = obs_cams.reshape(-1).astype(np.int32)
+    R_all = np.asarray(poses_gt.rotation)
+    t_all = np.asarray(poses_gt.translation)
+    pc = np.einsum("mij,mj->mi", R_all[cam_idx], pts_w[pt_idx]) + t_all[cam_idx]
+    uvs = np.stack([FX * pc[:, 0] / pc[:, 2] + CX, FY * pc[:, 1] / pc[:, 2] + CY], -1)
+    uvs += rng.normal(size=uvs.shape) * 0.3
+    valid = pc[:, 2] > 0.1
     M = len(cam_idx)
     fixed = jnp.zeros((K,), bool).at[0].set(True).at[1].set(True)
 
@@ -98,11 +100,9 @@ def main():
         s_cam, s_pt, s_uv, s_valid, s_table, s_points = shard_observations(
             cam_idx, pt_idx, uvs, valid, Pn, nsh, max_obs_per_point=OBS
         )
-        pts0 = np.zeros((nsh, s_points.shape[1], 3), np.float32)
-        for s in range(nsh):
-            for lp, p in enumerate(s_points[s]):
-                if p >= 0:
-                    pts0[s, lp] = pts_w[p] + rng.normal(size=3) * 0.1
+        pts0 = pts_w[np.clip(s_points, 0, Pn - 1)].astype(np.float32)
+        pts0 += rng.normal(size=pts0.shape).astype(np.float32) * 0.1
+        pts0[s_points < 0] = 0.0
 
         def run():
             out = distributed_local_ba(
@@ -116,7 +116,7 @@ def main():
 
         poses_out, pts_out, chi = run()  # compile
         ts = []
-        for _ in range(5):
+        for _ in range(3):
             t0 = time.perf_counter()
             run()
             ts.append(time.perf_counter() - t0)
