@@ -194,17 +194,22 @@ def _solve_damped(H: jax.Array, g: jax.Array) -> jax.Array:
     eye = jnp.eye(H.shape[0], dtype=dtype)
 
     if H.shape[0] <= _UNROLL_MAX_D:
-        # one pre-jittered solve instead of solve + fallback-solve: a RELATIVE
-        # per-diagonal ridge (Marquardt-style, 1e-7·diag) preserves the very
-        # different magnitudes of the translation/rotation directions (an
-        # absolute trace-scaled ridge swamps the small ones), is negligible
-        # next to the LM damping already in H, and halves the unrolled scalar
-        # chain in the hot loop; a genuinely indefinite system returns dx=0 →
-        # the small-step abort rolls back like the reference
-        # (src/optimizer.cpp:314-334)
-        ridge = 1e-7 * jnp.diagonal(H) + jnp.finfo(dtype).tiny
+        # pre-jittered solve: a RELATIVE per-diagonal ridge (Marquardt-style,
+        # 1e-7·diag) preserves the very different magnitudes of the
+        # translation/rotation directions (an absolute trace-scaled ridge
+        # swamps the small ones) and is negligible next to the LM damping
+        # already in H. A genuinely indefinite system retries once with a
+        # strong ridge instead of returning dx=0 — a zero step would trip the
+        # small-step abort and END the whole solve, where the reference lets
+        # lambda escalate and keeps iterating (src/optimizer.cpp:314-334;
+        # ADVICE r3). This engine no longer sits in the device hot loop (the
+        # pallas kernels do), so the extra unrolled chain is free.
+        diagH = jnp.diagonal(H)
+        ridge = 1e-7 * diagH + jnp.finfo(dtype).tiny
         dx0, ok0 = _chol_solve_unrolled(H + jnp.diag(ridge), g)
-        return jnp.where(ok0, dx0, 0.0)
+        strong = 1e-3 * jnp.max(jnp.abs(diagH)) + 1e-12
+        dx1, ok1 = _chol_solve_unrolled(H + jnp.diag(ridge + strong), g)
+        return jnp.where(ok0, dx0, jnp.where(ok1, dx1, 0.0))
 
     def try_solve(jitter):
         L, ok = _chol(H + jitter * eye)

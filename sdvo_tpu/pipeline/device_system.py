@@ -66,7 +66,6 @@ from sdvo_tpu.features.detection import detect_gradient_by_value
 from sdvo_tpu.geometry.camera import PinholeCamera
 from sdvo_tpu.geometry.se3 import SE3
 from sdvo_tpu.image.pyramid import build_pyramid
-from sdvo_tpu.image.stack import build_patch_stack, sample_patches, sample_patches_grad
 from sdvo_tpu.mapping.arena import PointType
 from sdvo_tpu.mapping.device_map import (
     DeviceMap,
@@ -319,8 +318,19 @@ class DeviceVO:
         kf_frame_id = jnp.where(onehot, state.frame_id - 1, m.kf_frame_id)
 
         # 8. features of the new keyframe: the frame's matches (rows 0..M) ---
-        grad_stack = build_patch_stack(pyr.base_gradient, cfg.patch_fa)
-        f_patch, f_gx, f_gy, f_ok = sample_patches_grad(grad_stack, matches.uv)
+        # per-feature windows instead of full-image shifted patch stacks: the
+        # stacks moved ~137 MB of HBM per keyframe (P²·image copies ×2 images)
+        # to feed a few hundred patches; windows fetch only what is sampled
+        from sdvo_tpu.ops.window_sampler import (
+            sample_windows, sample_windows_grad, window_gather,
+        )
+
+        def grad_patches(uv):
+            w, org, okw = window_gather(pyr.base_gradient, uv, win_h=12)
+            p, gx, gy, oks = sample_windows_grad(w, uv - org, cfg.patch_fa)
+            return p, gx, gy, okw & oks
+
+        f_patch, f_gx, f_gy, f_ok = grad_patches(matches.uv)
         row_uv = jnp.zeros((F, 2), dtype).at[:M].set(matches.uv.astype(dtype))
         row_pt = -jnp.ones((F,), jnp.int32).at[:M].set(matches.pt_slot)
         row_val = jnp.zeros((F,), bool).at[:M].set(matches.good & f_ok)
@@ -446,9 +456,10 @@ class DeviceVO:
         depth_mean = _masked_median(z_m, matches.good, fill=1.0)
         depth_min = jnp.min(jnp.where(matches.good, z_m, jnp.inf))
         depth_min = jnp.where(jnp.isfinite(depth_min), depth_min, 0.1)
-        int_stack = build_patch_stack(pyr.base_image, cfg.patch_filter)
-        s_patch, s_ok = sample_patches(int_stack, uv_det)
-        sg_patch, sg_gx, sg_gy, sg_ok = sample_patches_grad(grad_stack, uv_det)
+        w_i, org_i, ok_i = window_gather(pyr.base_image, uv_det, win_h=12)
+        s_patch, s_ok2 = sample_windows(w_i, uv_det - org_i, cfg.patch_filter)
+        s_ok = ok_i & s_ok2
+        sg_patch, sg_gx, sg_gy, sg_ok = grad_patches(uv_det)
         new_bank = init_filters(
             uv_det.astype(dtype), cam.backproject(uv_det.astype(dtype)), s_patch,
             kf_slot=slot, depth_mean=jnp.maximum(depth_mean, 1e-3),
