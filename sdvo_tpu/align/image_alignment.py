@@ -94,7 +94,13 @@ class SparseImageAlign:
         use_windows: bool = True,
         window: int = 16,
         backend: str = "auto",
+        level_taper: int = 0,
     ):
+        # level_taper: reduce the per-level LM iteration budget by
+        # ``taper × (max_level − level)`` at coarse→fine (floor 4). Correct
+        # ONLY when each level starts near its optimum (a constant-velocity
+        # prior, as in the device pipeline); with a weak/no prior the finest
+        # levels need the full budget — keep 0 (the default) there.
         # backend: "xla" = per-level optimize_lm while_loop (portable);
         # "pallas" = fused Mosaic level kernel (ops.pallas_lm) — one launch per
         # level; "auto" = pallas on TPU, xla elsewhere. On CPU the pallas
@@ -104,6 +110,7 @@ class SparseImageAlign:
         assert backend in ("xla", "pallas"), backend
         assert backend != "pallas" or use_windows, "pallas backend requires use_windows"
         self.backend = backend
+        self.level_taper = int(level_taper)
         self._interpret = jax.default_backend() != "tpu"
         # use_windows: per-feature 16×16 windows + separable-interp sampling
         # (sdvo_tpu.ops.window_sampler) — no full-image shifted stacks, no
@@ -290,7 +297,8 @@ class SparseImageAlign:
                 # pyramid iteration budget: coarse levels absorb the motion
                 # (full budget), fine levels only polish a sub-pixel basin —
                 # each saved iteration is a full sample+solve pass in-kernel
-                its = max(4, self.settings.max_iterations - 2 * (self.max_level - level))
+                its = max(4, self.settings.max_iterations
+                          - self.level_taper * (self.max_level - level))
                 T, rmse, _iters = lm_align_level(
                     T, win_cur, patches, J3, feats.points_ref, org_c, visible,
                     fx * scale, fy * scale, cx * scale, cy * scale,

@@ -37,31 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 _BISECT_STEPS = 10
 
 
-def _sample_flat(win_flat, offs_x, offs_y, patch, WH, WW):
-    """Bilinear P×P patches from flat windows (same as pallas_lm._sample_flat,
-    duplicated locally because the window geometry constants differ)."""
-    N = win_flat.shape[0]
-    j = jax.lax.broadcasted_iota(jnp.int32, (1, WH * WW), 1)
-    hh = (j // WW).astype(jnp.float32)
-    ww = (j % WW).astype(jnp.float32)
-    half = patch // 2
-    y0 = offs_y - half
-    x0 = offs_x - half
-    wys = [jnp.maximum(0.0, 1.0 - jnp.abs(y0 + p - hh)) for p in range(patch)]
-    wxs = [jnp.maximum(0.0, 1.0 - jnp.abs(x0 + q - ww)) for q in range(patch)]
-    cols = []
-    for p in range(patch):
-        wyw = wys[p] * win_flat
-        for q in range(patch):
-            cols.append(jnp.sum(wyw * wxs[q], axis=1, keepdims=True))
-    ci = jax.lax.broadcasted_iota(jnp.int32, (N, patch * patch), 1)
-    out = jnp.zeros((N, patch * patch), jnp.float32)
-    for c, v in enumerate(cols):
-        out = out + jnp.where(ci == c, v, 0.0)
-    ok = (
-        (x0 >= 1) & (y0 >= 1) & (x0 + patch <= WW - 2) & (y0 + patch <= WH - 2)
-    )
-    return out, ok
+from sdvo_tpu.ops.pallas_lm import _sample_rows
 
 
 def _pf_median_bisect(x, vis, lo, hi, half_n):
@@ -151,14 +127,14 @@ def _fa_kernel(
     N, P2 = refp.shape
 
     def residuals(u, v, o):
-        vals, ok = _sample_flat(win, u - ox, v - oy, patch, win_h, win_w)
+        vals, ok = _sample_rows(win, u - ox, v - oy, patch, win_h, win_w)
         vis = ((live > 0.5) & ok).astype(jnp.float32)  # (N,1)
         vis_f = jnp.broadcast_to(vis, (N, P2))
         r = -(vals - refp + o) * vis_f
         return r, vis_f
 
     # illumination offset init: cancel the mean patch difference
-    cur0, ok0 = _sample_flat(win, u0 - ox, v0 - oy, patch, win_h, win_w)
+    cur0, ok0 = _sample_rows(win, u0 - ox, v0 - oy, patch, win_h, win_w)
     ok0f = jnp.broadcast_to(((live > 0.5) & ok0).astype(jnp.float32), (N, P2))
     cnt0 = jnp.maximum(jnp.sum(ok0f, axis=1, keepdims=True), 1.0)
     o0 = -jnp.sum((cur0 - refp) * ok0f, axis=1, keepdims=True) / cnt0
@@ -228,7 +204,7 @@ def _fa_kernel(
     moved2 = (u - u0) ** 2 + (v - v0) ** 2
     # contrast gate (see align_features_2d_cached): variance of the final
     # current patch, in (squared) intensity units of the input images
-    cur_f, _ = _sample_flat(win, u - ox, v - oy, patch, win_h, win_w)
+    cur_f, _ = _sample_rows(win, u - ox, v - oy, patch, win_h, win_w)
     mean_c = jnp.sum(cur_f * vis_f, axis=1, keepdims=True) / n_vis
     var_c = jnp.sum((cur_f - mean_c) ** 2 * vis_f, axis=1, keepdims=True) / n_vis
     conv = (

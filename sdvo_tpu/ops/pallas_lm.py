@@ -50,35 +50,52 @@ from sdvo_tpu.geometry.se3 import SE3
 _BISECT_STEPS = 12
 
 
-def _flat_grid(WH: int, WW: int):
-    """(1, WH·WW) row/col coordinate grids of the flattened window."""
-    j = jax.lax.broadcasted_iota(jnp.int32, (1, WH * WW), 1)
-    return (j // WW).astype(jnp.float32), (j % WW).astype(jnp.float32)
+def _sample_rows(win_flat, offs_x, offs_y, patch, WH, WW):
+    """Separable bilinear P×P patches — 2-D ops only.
 
-
-def _sample_flat(win_flat, offs_x, offs_y, patch, WH, WW):
-    """Bilinear P×P patches from flat windows — 2-D ops only.
-
-    win_flat (N, WH·WW); offs (N, 1) patch-center in window coords.
-    Returns (vals (N, P²), ok (N, 1) bool). Identical math to
+    win_flat (N, WH·WW): flat windows (a 3-D (WH,N,WW) layout would pad the
+    32-lane minor dim to 128 and OOM VMEM); window rows are STATIC lane
+    slices ``win_flat[:, h·WW:(h+1)·WW]``. Two stages, both cheap: row
+    interpolation (P·WH scalar-broadcast multiply-adds on (N, WW)) then
+    column weighting (P² masked reductions over WW lanes) — ~7× less VPU
+    work than weighting the full flat window per patch pixel.
+    Returns (vals (N, P²), ok (N, 1) bool); identical math to
     ops.window_sampler.sample_windows (tri-weight bilinear interpolation).
     """
     N = win_flat.shape[0]
-    hh, ww = _flat_grid(WH, WW)
+    assert (WH * WW) % 128 == 0 and 128 % WW == 0, (WH, WW)
+    G = (WH * WW) // 128  # 128-lane groups; each holds 128//WW window rows
+    rpg = 128 // WW
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    h_in_g = (lane // WW).astype(jnp.float32)  # window row within the group
+    w_lane = (lane % WW).astype(jnp.float32)  # window column of the lane
     half = patch // 2
-    y0 = offs_y - half
+    y0 = offs_y - half  # (N, 1)
     x0 = offs_x - half
-    wys = [jnp.maximum(0.0, 1.0 - jnp.abs(y0 + p - hh)) for p in range(patch)]
-    wxs = [jnp.maximum(0.0, 1.0 - jnp.abs(x0 + q - ww)) for q in range(patch)]
-    cols = []
+    # stage A: per patch row, accumulate y-weighted 128-lane groups (every
+    # slice is 128-lane ALIGNED — unaligned WW-lane slices pad 4× and OOM
+    # scoped VMEM); the 4 window rows of a group stay unsummed in their lane
+    # sub-blocks, stage B's reduction folds them together
+    S = []
     for p in range(patch):
-        wyw = wys[p] * win_flat  # (N, WH·WW)
-        for q in range(patch):
-            cols.append(jnp.sum(wyw * wxs[q], axis=1, keepdims=True))  # (N,1)
+        acc = None
+        for g in range(G):
+            wy = jnp.maximum(
+                0.0, 1.0 - jnp.abs(y0 + p - (h_in_g + g * rpg))
+            )  # (N, 128)
+            term = wy * win_flat[:, g * 128 : (g + 1) * 128]
+            acc = term if acc is None else acc + term
+        S.append(acc)
+    # stage B: x-weight by lane column and reduce all 128 lanes
+    cols = {}
+    for q in range(patch):
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(x0 + q - w_lane))  # (N, 128)
+        for p in range(patch):
+            cols[p * patch + q] = jnp.sum(S[p] * wx, axis=1, keepdims=True)
     ci = jax.lax.broadcasted_iota(jnp.int32, (N, patch * patch), 1)
     out = jnp.zeros((N, patch * patch), jnp.float32)
-    for c, v in enumerate(cols):
-        out = out + jnp.where(ci == c, v, 0.0)
+    for c in range(patch * patch):
+        out = out + jnp.where(ci == c, cols[c], 0.0)
     ok = (
         (x0 >= 1) & (y0 >= 1) & (x0 + patch <= WW - 2) & (y0 + patch <= WH - 2)
     )  # (N,1)
@@ -240,7 +257,7 @@ def _lm_level_kernel(
         zs = jnp.where(pz < 1e-6, 1.0, pz)
         u = fx * px / zs + cx - org_x  # (N,1)
         v = fy * py / zs + cy - org_y
-        vals, ok = _sample_flat(win, u, v, patch, win_h, win_w)
+        vals, ok = _sample_rows(win, u, v, patch, win_h, win_w)
         # visibility travels as an f32 mask: selecting between BOOL vectors
         # ("arith.select" on i1) does not legalize in Mosaic
         vis1 = ((base_vis > 0.5) & ok & (pz > 1e-6)).astype(jnp.float32)  # (N,1)

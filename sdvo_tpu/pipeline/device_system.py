@@ -171,10 +171,18 @@ class DeviceVO:
         self.cam = cam
         self.cfg = cfg
         self.dtype = dtype
+        from sdvo_tpu.optim.optimizer import LMSettings
+
+        # device-path default: 10-iteration coarse budget (the per-level
+        # schedule in SparseImageAlign tapers fine levels further) — with the
+        # CV motion prior the basin is small and the early exit handles the
+        # rest; bench accuracy gates verify the trade
+        device_default = LMSettings(mad="hist", min_rel_decrease=1e-3,
+                                    max_iterations=10)
         self.aligner = SparseImageAlign(
             patch_size=cfg.patch_align, min_level=0, max_level=cfg.levels - 1,
-            settings=align_settings or SparseImageAlign.DEFAULT_SETTINGS,
-            backend=backend,
+            settings=align_settings or device_default,
+            backend=backend, level_taper=2,
         )
         self._chunk_fns: Dict[int, callable] = {}
 

@@ -203,19 +203,42 @@ class System:
         )
 
     def _viz_dump(self, frame: "_FrameRecord", stage: str, uv: np.ndarray, color="orange"):
-        """Per-stage overlay dump gated by config.visualization (the reference
-        gates cv::imshow/imwrite per stage, src/system.cpp:90-106,324-342)."""
+        """Per-stage overlay, gated by config.visualization (the reference
+        gates cv::imshow/imwrite per stage, src/system.cpp:90-106,324-342):
+        saving_type "File" writes PNGs; "LiveShow" displays interactively
+        (matplotlib window — the cv::imshow analog; degrades to a warning on
+        a headless display)."""
         cfg_v = self.config.visualization
-        if not cfg_v.enable_visualization or cfg_v.saving_type != "File":
+        if not cfg_v.enable_visualization or cfg_v.saving_type not in ("File", "LiveShow"):
             return
-        import os
 
         from sdvo_tpu.viz.overlays import draw_feature_points, get_color_image
 
-        out_dir = os.path.join(self.config.file_paths.output_dir, "images")
-        os.makedirs(out_dir, exist_ok=True)
         img = np.asarray(frame.pyramid.base_image).astype(np.uint8)
         over = draw_feature_points(get_color_image(img), np.asarray(uv), color=color)
+        if cfg_v.saving_type == "LiveShow":
+            try:
+                import matplotlib.pyplot as plt
+
+                if not hasattr(self, "_live_fig"):
+                    plt.ion()
+                    self._live_fig, self._live_ax = plt.subplots(num="sdvo-tpu")
+                    self._live_im = self._live_ax.imshow(over)
+                else:
+                    self._live_im.set_data(over)
+                self._live_ax.set_title(f"frame {frame.frame_id}: {stage}")
+                self._live_fig.canvas.draw_idle()
+                plt.pause(0.001)
+            except Exception as e:  # headless display
+                self.log.warning("LiveShow unavailable (%s); falling back to File", e)
+                self.config = self.config.replace(
+                    visualization=cfg_v.__class__(
+                        enable_visualization=True, saving_type="File")
+                )
+                self._viz_dump(frame, stage, uv, color)
+            return
+        out_dir = os.path.join(self.config.file_paths.output_dir, "images")
+        os.makedirs(out_dir, exist_ok=True)
         from PIL import Image
 
         Image.fromarray(over).save(

@@ -11,6 +11,7 @@ import os
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from sdvo_tpu.config import load_config
 from sdvo_tpu.geometry.camera import PinholeCamera
@@ -63,6 +64,7 @@ def test_system_undistorts_at_ingest(rng):
     np.testing.assert_array_equal(sys0.preprocess_image(clean), clean)
 
 
+@pytest.mark.slow  # interpret-mode kernel / full viz run — minutes on CPU
 def test_visualization_gated_dumps(rng, tmp_path):
     """enable_visualization + File saving writes per-stage overlays; the
     default config writes nothing."""

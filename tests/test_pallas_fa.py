@@ -3,6 +3,7 @@ mode on CPU — the same kernel compiles with Mosaic on TPU)."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from sdvo_tpu.align.feature_alignment import align_features_2d_cached
 from sdvo_tpu.image.pyramid import abs_gradient_saturated_sum
@@ -22,6 +23,7 @@ def _problem(rng, shift, n=48):
     return gcur, ref_patch, gx, gy, uv_ref, live
 
 
+@pytest.mark.slow  # interpret-mode kernel / full viz run — minutes on CPU
 def test_pallas_fa_matches_xla(rng):
     shift = (1.2, -0.8)
     gcur, ref_patch, gx, gy, uv_ref, live = _problem(rng, shift)

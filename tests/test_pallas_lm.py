@@ -73,6 +73,7 @@ def test_pallas_lm_level_converges(rng):
     assert int(iters) >= 2
 
 
+@pytest.mark.slow  # interpret-mode kernel / full viz run — minutes on CPU
 def test_pallas_backend_matches_xla(rng):
     """Full coarse-to-fine SparseImageAlign: the pallas backend (interpret
     mode on CPU) must track the XLA windows backend on identical inputs —
