@@ -203,16 +203,31 @@ def epipolar_search(
     locs = uv_min[:, None, :] + t[None, :, None] * epi[:, None, :]  # (F, K, 2)
     if cur_stack is not None:
         cur_vals, patch_ok = sample_patches(cur_stack, locs)  # (F, K, P²), (F, K)
+        scores = zssd_score(ref_warped[:, None, :], cur_vals)  # (F, K)
     else:
         from sdvo_tpu.ops.window_sampler import sample_windows, window_gather
 
         Fn, K = locs.shape[:2]
         locs_f = locs.reshape(Fn * K, 2)
         win, org, ok_w = window_gather(cur, locs_f, win_h=patch_size + 5)
-        vals, ok_s = sample_windows(win, locs_f - org, patch_size)
-        cur_vals = vals.reshape(Fn, K, P2)
-        patch_ok = (ok_w & ok_s).reshape(Fn, K)
-    scores = zssd_score(ref_warped[:, None, :], cur_vals)  # (F, K)
+        if jax.default_backend() == "tpu":
+            # fused scoring sweep: sample+center+ZSSD for all (filter, step)
+            # rows in one gridded Mosaic kernel (ops.pallas_depth)
+            from sdvo_tpu.ops.pallas_depth import depth_scores
+
+            cref = ref_warped - jnp.mean(ref_warped, axis=-1, keepdims=True)
+            cref_rep = jnp.repeat(cref.astype(jnp.float32), K, axis=0)
+            sc, ok_s = depth_scores(
+                win.reshape(Fn * K, -1), cref_rep, (locs_f - org),
+                patch=patch_size, win_h=patch_size + 5, win_w=win.shape[-1],
+            )
+            scores = sc.reshape(Fn, K).astype(dtype)
+            patch_ok = (ok_w & ok_s).reshape(Fn, K)
+        else:
+            vals, ok_s = sample_windows(win, locs_f - org, patch_size)
+            cur_vals = vals.reshape(Fn, K, P2)
+            patch_ok = (ok_w & ok_s).reshape(Fn, K)
+            scores = zssd_score(ref_warped[:, None, :], cur_vals)
     scores = jnp.where(patch_ok, scores, jnp.inf)
 
     short = norm < 2.0

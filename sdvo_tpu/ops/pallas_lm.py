@@ -96,8 +96,12 @@ def _sample_rows(win_flat, offs_x, offs_y, patch, WH, WW):
     out = jnp.zeros((N, patch * patch), jnp.float32)
     for c in range(patch * patch):
         out = out + jnp.where(ci == c, cols[c], 0.0)
+    # value-only bilinear support: the last tap touches row/col
+    # ⌈y0+patch−1+1⌉ ≤ WH−1 — identical to ops.window_sampler.sample_windows
+    # (the −2 bound belongs to the GRADIENT sampler's extra ±1 taps; with a
+    # patch-7 filter window it has zero slack and rejects everything)
     ok = (
-        (x0 >= 1) & (y0 >= 1) & (x0 + patch <= WW - 2) & (y0 + patch <= WH - 2)
+        (x0 >= 1) & (y0 >= 1) & (x0 + patch <= WW - 1) & (y0 + patch <= WH - 1)
     )  # (N,1)
     return out, ok
 
