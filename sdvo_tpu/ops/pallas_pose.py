@@ -26,7 +26,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from sdvo_tpu.geometry.se3 import SE3
 from sdvo_tpu.ops.pallas_lm import (
-    _BISECT_STEPS,
+    _MAD_BINS,
     _chol6_scalar,
     _mat9_mul,
     _scalar_grid,
@@ -35,14 +35,12 @@ from sdvo_tpu.ops.pallas_lm import (
 
 
 def _mad_bisect3(r3, vis_f, n_vis):
-    """Global MAD over three (N,1) residual columns by range bisection — the
-    3-column analog of ops.pallas_lm._mad_bisect (no lane-axis concatenation:
-    Mosaic's layout engine rejects it inside kernel loops)."""
+    """Global MAD over three (N,1) residual columns via independent binned
+    counts — the 3-column analog of ops.pallas_lm._mad_bisect (no lane-axis
+    concatenation: Mosaic's layout engine rejects it inside kernel loops)."""
     big = jnp.asarray(3.0e38, jnp.float32)
     half_n = 0.5 * n_vis
-
-    def masked_min(vals):
-        return min_reduce([jnp.min(jnp.where(vis_f > 0.5, v, big)) for v in vals])
+    B = _MAD_BINS
 
     def min_reduce(xs):
         out = xs[0]
@@ -56,23 +54,28 @@ def _mad_bisect3(r3, vis_f, n_vis):
             out = jnp.maximum(out, x)
         return out
 
-    def bisect(vals, lo, hi):
-        def body(_, s):
-            lo_, hi_ = s
-            mid = 0.5 * (lo_ + hi_)
-            cnt = sum(jnp.sum(jnp.where(v <= mid, vis_f, 0.0)) for v in vals)
-            reach = cnt >= half_n
-            return (jnp.where(reach, lo_, mid), jnp.where(reach, mid, hi_))
+    def bin_median(vals, lo, hi):
+        span = jnp.maximum(hi - lo, 1e-12)
+        cnts = [
+            sum(jnp.sum(jnp.where(v <= lo + ((b + 1.0) / B) * span, vis_f, 0.0))
+                for v in vals)
+            for b in range(B)
+        ]
+        med = hi
+        prev = jnp.asarray(0.0, jnp.float32)
+        for b in range(B):
+            hit = (prev < half_n) & (cnts[b] >= half_n)
+            frac = (half_n - prev) / jnp.maximum(cnts[b] - prev, 1.0)
+            med = jnp.where(hit, lo + (b + frac) * (span / B), med)
+            prev = cnts[b]
+        return med
 
-        lo_f, hi_f = jax.lax.fori_loop(0, _BISECT_STEPS, body, (lo, hi))
-        return 0.5 * (lo_f + hi_f)
-
-    lo = masked_min(r3)
+    lo = min_reduce([jnp.min(jnp.where(vis_f > 0.5, v, big)) for v in r3])
     hi = max_reduce([jnp.max(jnp.where(vis_f > 0.5, v, -big)) for v in r3])
-    med = bisect(r3, lo, hi)
+    med = bin_median(r3, lo, hi)
     dev = [jnp.abs(v - med) for v in r3]
     hi2 = max_reduce([jnp.max(jnp.where(vis_f > 0.5, v, 0.0)) for v in dev])
-    return bisect(dev, jnp.asarray(0.0, jnp.float32), hi2)
+    return bin_median(dev, jnp.asarray(0.0, jnp.float32), hi2)
 
 
 def _pose_kernel(
