@@ -675,7 +675,7 @@ class DeviceSystem:
     def __init__(self, config: Config, camera: Optional[PinholeCamera] = None,
                  seed: int = 0, supersteps_per_chunk: int = 8,
                  max_promote: int = 64, ba_points: int = 1024,
-                 ba_iterations: int = 4, backend: str = "auto"):
+                 ba_iterations: int = 3, backend: str = "auto"):
         self.config = config
         self.host = System(config, camera, seed)
         cfg_a = config.algorithm
