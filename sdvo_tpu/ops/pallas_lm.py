@@ -106,26 +106,33 @@ def _sample_rows(win_flat, offs_x, offs_y, patch, WH, WW):
 _MAD_BINS = 16
 
 
-def _bin_median(x, vis_f, lo, hi, half_n, bins=_MAD_BINS):
+def _bin_median(x, vis_f, lo, hi, half_n, bins=_MAD_BINS, stages=2):
     """Masked median via ``bins`` INDEPENDENT cumulative counts + in-bin
-    linear interpolation. A bisection search is ``steps`` SERIAL
-    array→scalar reductions (each ~µs of cross-lane latency, and they
-    dominated the fused-LM iteration); here the counts are independent (the
-    hardware pipelines them) and only the cheap scalar interpolation chain
-    is serial. Max error ≪ bin width with the interpolation — far below the
-    Tukey cutoff's sensitivity (c = 4.685σ)."""
-    span = jnp.maximum(hi - lo, 1e-12)
-    cnts = [
-        jnp.sum(jnp.where(x <= lo + ((b + 1.0) / bins) * span, vis_f, 0.0))
-        for b in range(bins)
-    ]
+    linear interpolation, zoomed over ``stages`` rounds. A bisection search
+    is N SERIAL array→scalar reductions (each ~µs of cross-lane latency, and
+    they dominated the fused-LM iteration); here each stage's counts are
+    independent (the hardware pipelines them) and only the cheap scalar
+    chains are serial — 2 serialization points for bins^stages effective
+    resolution. The zoom matters with heavy-tailed residuals: outliers
+    stretch [lo, hi] so a single 16-bin pass drops every inlier into one
+    bin; stage 2 re-bins inside that bin."""
     med = hi
-    prev = jnp.asarray(0.0, jnp.float32)
-    for b in range(bins):
-        hit = (prev < half_n) & (cnts[b] >= half_n)
-        frac = (half_n - prev) / jnp.maximum(cnts[b] - prev, 1.0)
-        med = jnp.where(hit, lo + (b + frac) * (span / bins), med)
-        prev = cnts[b]
+    for _ in range(stages):
+        span = jnp.maximum(hi - lo, 1e-12)
+        cnts = [
+            jnp.sum(jnp.where(x <= lo + ((b + 1.0) / bins) * span, vis_f, 0.0))
+            for b in range(bins)
+        ]
+        prev = jnp.asarray(0.0, jnp.float32)
+        new_lo, new_hi = lo, hi
+        for b in range(bins):
+            hit = (prev < half_n) & (cnts[b] >= half_n)
+            frac = (half_n - prev) / jnp.maximum(cnts[b] - prev, 1.0)
+            med = jnp.where(hit, lo + (b + frac) * (span / bins), med)
+            new_lo = jnp.where(hit, lo + b * (span / bins), new_lo)
+            new_hi = jnp.where(hit, lo + (b + 1.0) * (span / bins), new_hi)
+            prev = cnts[b]
+        lo, hi = new_lo, new_hi
     return med
 
 

@@ -54,20 +54,27 @@ def _mad_bisect3(r3, vis_f, n_vis):
             out = jnp.maximum(out, x)
         return out
 
-    def bin_median(vals, lo, hi):
-        span = jnp.maximum(hi - lo, 1e-12)
-        cnts = [
-            sum(jnp.sum(jnp.where(v <= lo + ((b + 1.0) / B) * span, vis_f, 0.0))
-                for v in vals)
-            for b in range(B)
-        ]
+    def bin_median(vals, lo, hi, stages=2):
+        # two zoom stages — see ops.pallas_lm._bin_median (a single coarse
+        # pass collapses when outliers stretch the range)
         med = hi
-        prev = jnp.asarray(0.0, jnp.float32)
-        for b in range(B):
-            hit = (prev < half_n) & (cnts[b] >= half_n)
-            frac = (half_n - prev) / jnp.maximum(cnts[b] - prev, 1.0)
-            med = jnp.where(hit, lo + (b + frac) * (span / B), med)
-            prev = cnts[b]
+        for _ in range(stages):
+            span = jnp.maximum(hi - lo, 1e-12)
+            cnts = [
+                sum(jnp.sum(jnp.where(v <= lo + ((b + 1.0) / B) * span, vis_f, 0.0))
+                    for v in vals)
+                for b in range(B)
+            ]
+            prev = jnp.asarray(0.0, jnp.float32)
+            new_lo, new_hi = lo, hi
+            for b in range(B):
+                hit = (prev < half_n) & (cnts[b] >= half_n)
+                frac = (half_n - prev) / jnp.maximum(cnts[b] - prev, 1.0)
+                med = jnp.where(hit, lo + (b + frac) * (span / B), med)
+                new_lo = jnp.where(hit, lo + b * (span / B), new_lo)
+                new_hi = jnp.where(hit, lo + (b + 1.0) * (span / B), new_hi)
+                prev = cnts[b]
+            lo, hi = new_lo, new_hi
         return med
 
     lo = min_reduce([jnp.min(jnp.where(vis_f > 0.5, v, big)) for v in r3])
