@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from sdvo_tpu.geometry.se3 import SE3
 from sdvo_tpu.geometry.triangulation import triangulate_two_view_depth
 from sdvo_tpu.image.interp import patch_offsets
-from sdvo_tpu.image.stack import PatchStack, build_patch_stack, sample_patches
+from sdvo_tpu.image.stack import PatchStack, sample_patches
 
 
 def affine_warp_matrix(

@@ -51,7 +51,6 @@ exposes the same trajectory/metrics surface as ``pipeline.system.System``.
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, List, NamedTuple, Optional, Tuple
 
 import jax
