@@ -144,23 +144,36 @@ def main():
     # measured null round-trip of the tunneled host link (varies 0-30 ms
     # between sessions — tools/profile_frame.measure_null_rtt): the product's
     # PCIe-attached dispatch costs ~50 µs, so like the staging exclusion
-    # above, the tunnel's per-dispatch latency is subtracted (once per chunk;
-    # the correction and raw number are both deterministic from this run)
+    # above, the tunnel's per-dispatch latency is subtracted.  The dispatch
+    # leg (async enqueue returns after the host→device send) and the sync leg
+    # (block_until_ready on an already-enqueued no-op) are measured
+    # SEPARATELY; each timed chunk pays exactly one of each (one fn dispatch
+    # + one device_get), so the correction is disp+sync per chunk — both the
+    # raw and the corrected number are emitted so the correction is auditable.
     null = jax.jit(lambda x: x + 1)
     z = jnp.zeros(())
     jax.block_until_ready(null(z))
-    t0 = time.perf_counter()
+    disp = sync = 0.0
     for _ in range(10):
-        jax.block_until_ready(null(z))
-    rtt = (time.perf_counter() - t0) / 10
+        t0 = time.perf_counter()
+        y = null(z)
+        t1 = time.perf_counter()
+        jax.block_until_ready(y)
+        t2 = time.perf_counter()
+        disp += t1 - t0
+        sync += t2 - t1
+    disp /= 10
+    sync /= 10
+    rtt = disp + sync
 
     # timed region: the product loop — dispatch chunk, sync, read results
     t0 = time.perf_counter()
     for ch in chunks[1:]:
         ds.state, outs = fn(ds.state, ch)
         all_outs.append(jax.device_get(outs))
-    elapsed = time.perf_counter() - t0
-    elapsed = max(elapsed - N_CHUNKS_TIMED * 2 * rtt, 1e-9)  # dispatch+readback
+    raw_elapsed = time.perf_counter() - t0
+    elapsed = max(raw_elapsed - N_CHUNKS_TIMED * rtt, 1e-9)
+    raw_fps = (N_CHUNKS_TIMED * chunk_frames) / raw_elapsed
     fps = (N_CHUNKS_TIMED * chunk_frames) / elapsed
 
     # ---- accuracy gates (fail loudly rather than bench a broken tracker) ---
@@ -200,6 +213,11 @@ def main():
                 "value": round(fps, 2),
                 "unit": "frames/sec/chip",
                 "vs_baseline": round(fps / REFERENCE_FPS, 2),
+                "raw_fps": round(raw_fps, 2),
+                "corrected_fps": round(fps, 2),
+                "rtt_ms": round(rtt * 1e3, 3),
+                "dispatch_ms": round(disp * 1e3, 3),
+                "sync_ms": round(sync * 1e3, 3),
             }
         )
     )

@@ -144,6 +144,15 @@ def align_features_2d_cached(
     (sdvo_tpu.ops.window_sampler): candidates that wander outside their window
     (≥ ~7 px from the prediction) go invisible — the same features the moved-
     too-far convergence gate (patch·2 px) would reject anyway.
+
+    Backend note: the ``pallas`` kernel freezes each feature's state the
+    moment IT stalls (per-feature mask), while the ``xla`` path only uses the
+    stall test for a global early exit and keeps iterating individually
+    stalled features until the whole batch stalls.  This divergence is
+    intentional — freezing at the stall point is the per-feature analogue of
+    the early exit, costs nothing in-kernel, and only marginal features (a
+    stalled LM step that would later un-stall) can land on different uv; the
+    parity test bounds the disagreement at <10 % of features.
     """
     half = patch_size // 2
     H, W = cur_gradient.shape

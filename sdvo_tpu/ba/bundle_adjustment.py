@@ -69,6 +69,12 @@ class BASettings(NamedTuple):
     # typically converges in 2-3 steps; the early exit halves the device time
     # of the keyframe step without touching the solution.
     min_rel_decrease: float = 0.0
+    # structure-only Gauss-Newton passes BEFORE the joint solve — the
+    # reference's localBA first optimizes landmarks with poses held fixed
+    # (src/bundle_adjustment.cpp:480-625) so the joint LM starts from
+    # consistent structure. Each pass is a batched per-point 3×3 solve with
+    # per-point accept/reject (cheap: no Schur fill-in, no 6K×6K solve).
+    structure_presolve: int = 0
 
 
 def _project_residual(T: SE3, pts: jax.Array, uv: jax.Array, fx, fy, cx, cy):
@@ -237,6 +243,42 @@ def local_ba(
 
     def chi2_of(r, w, ok):
         return jnp.sum(jnp.where(ok, w * jnp.sum(r * r, axis=-1), 0.0))
+
+    if settings.structure_presolve > 0:
+        frozen_pre = fixed_pt if const_pt is None else (fixed_pt | const_pt)
+
+        def pre_step(pts_, _):
+            r, ok, p_cam, T = residuals(poses, pts_)
+            w = _huber_w(r, settings.huber_delta) * ok.astype(dtype)
+            _, Jp = _jacobians(T, p_cam, fxj, fyj)
+            Jp = Jp * ok.astype(dtype)[:, None, None]
+            JpW = Jp * w[:, None, None]
+            Hpp_obs = jnp.sum(JpW[:, :, :, None] * Jp[:, :, None, :], axis=1)
+            gp_obs = jnp.sum(JpW * r[:, :, None], axis=1)
+            Hpp = jax.ops.segment_sum(Hpp_obs, obs.pt_idx, num_segments=P)
+            gp = jax.ops.segment_sum(gp_obs, obs.pt_idx, num_segments=P)
+            Hpp_inv = _inv3x3(Hpp + 1e-4 * jnp.eye(3, dtype=dtype))
+            dp = jnp.sum(Hpp_inv * gp[:, None, :], axis=-1)
+            dp = jnp.where(frozen_pre[:, None], 0.0, dp)
+            pts_new = pts_ - dp
+            # per-point accept: keep the update only where that point's own
+            # chi² decreased (a batched analog of the reference's per-point
+            # convergence loop)
+            chi_pt = jax.ops.segment_sum(
+                jnp.where(ok, w * jnp.sum(r * r, axis=-1), 0.0),
+                obs.pt_idx, num_segments=P,
+            )
+            r_n, ok_n, _, _ = residuals(poses, pts_new)
+            w_n = _huber_w(r_n, settings.huber_delta) * ok_n.astype(dtype)
+            chi_pt_n = jax.ops.segment_sum(
+                jnp.where(ok_n, w_n * jnp.sum(r_n * r_n, axis=-1), 0.0),
+                obs.pt_idx, num_segments=P,
+            )
+            keep = (chi_pt_n < chi_pt)[:, None]
+            return jnp.where(keep, pts_new, pts_), None
+
+        points, _ = jax.lax.scan(pre_step, points, None,
+                                 length=settings.structure_presolve)
 
     r0, ok0, _, _ = residuals(poses, points)
     w0 = _huber_w(r0, settings.huber_delta)

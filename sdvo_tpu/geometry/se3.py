@@ -148,13 +148,20 @@ def so3_log(R: jax.Array) -> jax.Array:
     """(..., 3, 3) -> (..., 3). Stable up to (but not exactly at) theta = pi."""
     trace = jnp.trace(R, axis1=-2, axis2=-1)
     cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_theta)
+    # arccos has an INFINITE derivative at cos=1 (the identity) — exactly
+    # where pose-graph residuals sit, so jacfwd through log(≈identity) would
+    # be NaN.  Double-where the *input*: the small branch never reads theta,
+    # its Taylor scale is expressed in c1 = 1-cosθ (θ²/6 = c1/3 + O(θ⁴)),
+    # whose derivative w.r.t. R is a clean polynomial.
+    is_small = cos_theta > 1.0 - 1e-6  # θ < ~1.4e-3; Taylor error O(θ⁴)
+    cos_safe = jnp.where(is_small, jnp.zeros_like(cos_theta), cos_theta)
+    theta = jnp.arccos(cos_safe)
     w = vee(R - jnp.swapaxes(R, -1, -2)) * 0.5  # = sin(theta) * axis
     sin_theta = jnp.sin(theta)
-    is_small = theta < 1e-5
     near_pi = theta > jnp.pi - 1e-3
     sin_safe = jnp.where(is_small | near_pi, jnp.ones_like(sin_theta), sin_theta)
-    scale = jnp.where(is_small, 1.0 + theta**2 / 6.0, theta / sin_safe)
+    c1 = 1.0 - cos_theta
+    scale = jnp.where(is_small, 1.0 + c1 / 3.0 + c1 * c1 * (2.0 / 15.0), theta / sin_safe)
     omega_generic = scale[..., None] * w
     # Near pi the antisymmetric part vanishes; recover the axis from the exact
     # symmetric identity (R + Rᵀ - 2cosθ·I) / (2(1-cosθ)) = a aᵀ, taking the

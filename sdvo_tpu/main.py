@@ -82,6 +82,8 @@ def main(argv=None):
         config = load_config(args.config, overrides={
             "camera": {"img_width": ecalib["width"], "img_height": ecalib["height"]},
         })
+        if args.f64:  # re-apply: the reload above discarded the earlier override
+            config = config.replace(compute_dtype="float64")
         log.info("EuRoC camera: fx=%.3f cx=%.3f cy=%.3f", K[0, 0], K[0, 2], K[1, 2])
     else:
         calib = config.file_paths.camera_calibration_file

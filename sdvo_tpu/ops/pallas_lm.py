@@ -249,7 +249,7 @@ def _lm_level_kernel(
     vis_scr,  # VMEM (N, P2) scratch: visibility mask at the accepted pose
     w_scr,  # VMEM (N, P2) scratch: Tukey weights at the accepted pose
     *, patch: int, win_h: int, win_w: int, max_iters: int,
-    min_rel_decrease: float,
+    min_rel_decrease: float, freeze_sigma: bool = False,
 ):
     win = win_ref[...]
     patches = patch_ref[...]
@@ -283,20 +283,23 @@ def _lm_level_kernel(
         r = (vals - patches) * vis2
         return r, vis2
 
-    def weights_chi2(r, vis):
+    def weights_chi2(r, vis, c_frozen=None):
         # vis: f32 mask (N,P2)
         n_vis = jnp.maximum(jnp.sum(vis), 1.0)
-        sigma = 1.4826 * _mad_bisect(r, vis, n_vis)
-        c = 4.6851 * jnp.maximum(sigma, 1e-12)
+        if c_frozen is None:
+            sigma = 1.4826 * _mad_bisect(r, vis, n_vis)
+            c = 4.6851 * jnp.maximum(sigma, 1e-12)
+        else:
+            c = c_frozen
         w = (1.0 - (r * r) / (c * c)) ** 2
         w = jnp.where(jnp.abs(r) <= c, w, 0.0) * vis
         chi2 = jnp.sum(w * r * r)
-        return w, chi2, n_vis
+        return w, chi2, n_vis, c
 
     R0 = tuple(pose_ref[i, j] for i in range(3) for j in range(3))
     t0 = tuple(pose_ref[i, 3] for i in range(3))
     r0, vis0 = residuals(R0, t0)
-    w0, chi0, _ = weights_chi2(r0, vis0)
+    w0, chi0, _, c0 = weights_chi2(r0, vis0)
     # the accepted-state residual/visibility/weight VECTORS travel through
     # VMEM scratch: the while-loop carry must stay scalar-only (vector carries
     # break Mosaic layout inference), and recomputing them from the pose every
@@ -310,9 +313,9 @@ def _lm_level_kernel(
         return (it < max_iters) & jnp.logical_not(done)
 
     def body(state):
-        (it, done, chi, lam, nu) = state[:5]
-        R = state[5:14]
-        t = state[14:17]
+        (it, done, chi, lam, nu, csig) = state[:6]
+        R = state[6:15]
+        t = state[15:18]
         r = r_scr[...]
         vis = vis_scr[...]
         w = w_scr[...]
@@ -343,7 +346,13 @@ def _lm_level_kernel(
             R[6] * dt[0] + R[7] * dt[1] + R[8] * dt[2] + t[2],
         )
         r_n, vis_n = residuals(R_new, t_new)
-        w_n, chi_n, _ = weights_chi2(r_n, vis_n)
+        # freeze_sigma: the Tukey cutoff stays at its entry value (σ from the
+        # kernel's initial residuals) — saves the 4 serialized bin-median
+        # stages per iteration; used by the phase-B polish kernel where the
+        # scale is already converged
+        w_n, chi_n, _, c_new = weights_chi2(
+            r_n, vis_n, csig if freeze_sigma else None
+        )
         pred = sum(d * (lam_eff * d + gi) for d, gi in zip(dx, g))
         rho = (chi - chi_n) / jnp.maximum(pred, 1e-30)
         success = (chi - chi_n) > 0.0
@@ -368,16 +377,17 @@ def _lm_level_kernel(
         r_scr[...] = r * (1.0 - acc_f) + r_n * acc_f
         vis_scr[...] = vis * (1.0 - acc_f) + vis_n * acc_f
         w_scr[...] = w * (1.0 - acc_f) + w_n * acc_f
-        return (it + 1, done_n, chi_out, lam_next, nu_next) + R_out + t_out
+        c_next = csig if freeze_sigma else jnp.where(accept, c_new, csig)
+        return (it + 1, done_n, chi_out, lam_next, nu_next, c_next) + R_out + t_out
 
     init = (
         jnp.asarray(0, jnp.int32), jnp.asarray(False), chi0,
-        jnp.asarray(1e-2, jnp.float32), jnp.asarray(2.0, jnp.float32),
+        jnp.asarray(1e-2, jnp.float32), jnp.asarray(2.0, jnp.float32), c0,
     ) + R0 + t0
     final = jax.lax.while_loop(cond, body, init)
     it_f, chi_f = final[0], final[2]
-    R_f = final[5:14]
-    t_f = final[14:17]
+    R_f = final[6:15]
+    t_f = final[15:18]
     n_vis = jnp.maximum(jnp.sum(vis_scr[...]), 1.0)
 
     pose_vals = {}
@@ -394,7 +404,8 @@ def _lm_level_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("patch", "max_iters", "min_rel_decrease", "interpret"),
+    static_argnames=("patch", "max_iters", "min_rel_decrease", "freeze_sigma",
+                     "interpret"),
 )
 def lm_align_level(
     T_init: SE3,
@@ -408,6 +419,7 @@ def lm_align_level(
     patch: int = 5,
     max_iters: int = 12,
     min_rel_decrease: float = 1e-3,
+    freeze_sigma: bool = False,
     interpret: bool = False,
 ) -> Tuple[SE3, jax.Array, jax.Array]:
     """One fused-LM pyramid level. Returns (T, rmse, iterations)."""
@@ -419,7 +431,7 @@ def lm_align_level(
     intr = jnp.stack([fx, fy, cx, cy]).astype(f32).reshape(1, 4)
     kernel = functools.partial(
         _lm_level_kernel, patch=patch, win_h=WH, win_w=WW, max_iters=max_iters,
-        min_rel_decrease=min_rel_decrease,
+        min_rel_decrease=min_rel_decrease, freeze_sigma=freeze_sigma,
     )
     P2 = patch * patch
     out_pose, out_stats = pl.pallas_call(

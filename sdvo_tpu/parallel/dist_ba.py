@@ -115,7 +115,10 @@ def distributed_local_ba(
 ):
     """Schur-complement LM with landmark shards reduced over the mesh.
 
-    Returns (poses', points' (S, P_s, 3), total_chi2).
+    Returns (poses', points' (S, P_s, 3), total_chi2, S_reduced) where
+    ``S_reduced`` is the undamped Schur-reduced camera system (6K×6K) of the
+    final iteration — the marginal pose information the pose-graph refine
+    harvests (:func:`ba_with_pose_graph_refine`).
     """
     K = num_cams
     dtype = points.dtype
@@ -208,28 +211,112 @@ def distributed_local_ba(
             pts_out = jnp.where(better, pts_new, pts_)
             lam_out = jnp.where(better, lam * 0.1, lam * 10.0)
             chi_out = jnp.where(better, chi_n, chi)
-            return (R_out, t_out, pts_out, lam_out, chi_out), None
+            # UNDAMPED reduced camera system at the pre-step state — the last
+            # scan emission is the harvestable marginal pose information for
+            # the pose-graph refine (pose_graph.edge_info_from_reduced_hessian)
+            S_und = (-S_fill).reshape(K, 6, K, 6).at[
+                jnp.arange(K), :, jnp.arange(K), :
+            ].add(Hcc).reshape(K * 6, K * 6)
+            return (R_out, t_out, pts_out, lam_out, chi_out), S_und
 
         r0, live0, _, _ = residuals(poses_R, poses_t, pts)
         w0 = _huber_w(r0, huber_delta) * live0.astype(dtype)
         chi0 = chi2_of(r0, w0, live0)
-        (R_f, t_f, pts_f, _, chi_f), _ = jax.lax.scan(
+        (R_f, t_f, pts_f, _, chi_f), S_all = jax.lax.scan(
             step,
             (poses_R, poses_t, pts, jnp.asarray(init_lambda, dtype), chi0),
             None,
             length=iterations,
         )
-        return R_f, t_f, pts_f[None], chi_f
+        return R_f, t_f, pts_f[None], chi_f, S_all[-1]
 
     shard = P("shard")
     out = jax.shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=(P(), P(), shard, shard, shard, shard, shard, shard),
-        out_specs=(P(), P(), shard, P()),
+        out_specs=(P(), P(), shard, P(), P()),
         check_vma=False,
     )(
         poses.rotation, poses.translation, points, cam_idx, pt_idx, uv, valid, table
     )
-    R_f, t_f, pts_f, chi_f = out
-    return SE3(R_f, t_f), pts_f, chi_f
+    R_f, t_f, pts_f, chi_f, S_red = out
+    return SE3(R_f, t_f), pts_f, chi_f, S_red
+
+
+def ba_with_pose_graph_refine(
+    poses_all: SE3,  # (N,) the FULL keyframe trajectory (world→camera)
+    window_start: int,  # index of the BA window's first keyframe in poses_all
+    ba_args: tuple,  # positional args of distributed_local_ba after `poses`
+    loop_edges=None,  # optional PoseGraphEdges over trajectory indices
+    mesh: Mesh = None,
+    num_shards: int = 1,
+    pg_iterations: int = 10,
+    **ba_kwargs,
+):
+    """BASELINE config 5, final stage: windowed distributed Schur BA followed
+    by a pose-graph refine over the whole keyframe trajectory.
+
+    The reduced camera system the BA produces (landmarks marginalized — the
+    output of the Schur complement) is harvested as the information of the
+    within-window relative-pose constraints; outside the window, plain
+    odometry edges (identity information) chain the remaining keyframes; any
+    ``loop_edges`` (e.g. from place recognition) close long-range drift. The
+    refine itself runs as :func:`~sdvo_tpu.parallel.pose_graph.
+    distributed_pose_graph` — edges sharded over the mesh, one (6N)²-psum per
+    LM iteration. This is the graph-optimizer role of the reference's g2o
+    setup (``/root/reference/src/bundle_adjustment.cpp:311-339``) with the
+    landmark side already eliminated.
+
+    Host-side orchestration: two jitted solves + numpy edge packing.
+    Returns (refined poses (N,), BA points, BA chi², pose-graph chi²).
+    """
+    from sdvo_tpu.parallel.pose_graph import (
+        concat_edges,
+        distributed_pose_graph,
+        edge_info_from_reduced_hessian,
+        odometry_edges,
+        optimize_pose_graph,
+        shard_edges,
+    )
+
+    N = int(poses_all.translation.shape[0])
+    window_poses = jax.tree.map(lambda x: x[window_start:], poses_all)
+    K = int(window_poses.translation.shape[0])
+    ba_kwargs.setdefault("num_cams", K)
+    poses_w, pts_out, chi_ba, S_red = distributed_local_ba(
+        window_poses, *ba_args, mesh=mesh, **ba_kwargs
+    )
+
+    # splice the BA-refined window back into the trajectory
+    R_all = poses_all.rotation.at[window_start:].set(poses_w.rotation)
+    t_all = poses_all.translation.at[window_start:].set(poses_w.translation)
+    poses_new = SE3(R_all, t_all)
+
+    # odometry edges over the whole chain; within-window consecutive edges
+    # carry the BA-harvested information (scaled to the identity-info scale of
+    # the plain odometry edges so the two regimes are commensurable)
+    edges = odometry_edges(poses_new)
+    iw = jnp.arange(K - 1, dtype=jnp.int32)
+    lam_w = edge_info_from_reduced_hessian(S_red, iw + 1, iw)
+    # normalize: window edges get info ∝ their BA certainty, mean-traced to 10×
+    # the unit odometry info (BA-backed constraints should dominate raw odometry)
+    tr = jnp.clip(jnp.trace(lam_w, axis1=-2, axis2=-1) / 6.0, 1e-12, None)
+    lam_w = lam_w / tr[:, None, None] * 10.0
+    info = edges.info.at[window_start : window_start + K - 1].set(lam_w)
+    edges = edges._replace(info=info)
+    if loop_edges is not None:
+        edges = concat_edges(edges, loop_edges)
+
+    fixed = jnp.zeros((N,), bool).at[0].set(True)
+    if mesh is not None and num_shards > 1:
+        sharded = shard_edges(edges, num_shards)
+        poses_ref, chi_pg = distributed_pose_graph(
+            poses_new, sharded, fixed, mesh=mesh, num_poses=N,
+            iterations=pg_iterations,
+        )
+    else:
+        poses_ref, chi_pg = optimize_pose_graph(
+            poses_new, edges, fixed, num_poses=N, iterations=pg_iterations
+        )
+    return poses_ref, pts_out, chi_ba, chi_pg

@@ -137,6 +137,23 @@ def bootstrap_two_view(
         # chi2 pruning (reference prunes edges > threshold after BA)
         chi2_np = np.asarray(chi2_obs).reshape(2, P)
         keep = (chi2_np < 5.991).all(axis=0)
+        if keep.sum() < min_inliers:
+            # adaptive fallback: the fixed 95% gate assumes ~1 px observation
+            # noise; a sequence bootstrapping at larger residuals (blur,
+            # rolling shutter, synthetic anti-aliasing) would lose EVERY
+            # point and silently fail the whole init. Keep the best 70% by
+            # worst-view chi² instead, and say so loudly.
+            worst = chi2_np.max(axis=0)
+            thr = max(5.991, float(np.quantile(worst, 0.7)))
+            keep = worst <= thr
+            import logging
+
+            logging.getLogger("sdvo_tpu.Bootstrap").warning(
+                "two-view BA chi2 gate 5.991 kept %d < %d points; relaxed to "
+                "%.2f (70%% quantile), keeping %d",
+                int((chi2_np < 5.991).all(axis=0).sum()), min_inliers,
+                thr, int(keep.sum()),
+            )
         p_w = np.asarray(pts_out)[keep]
         uv_ref_in = uv_ref_in[keep]
         uv_cur_in = uv_cur_in[keep]

@@ -291,3 +291,45 @@ def test_two_oldest_gauge_recovers_window(rng):
     p_err = np.linalg.norm(np.asarray(pts_out) - np.asarray(pts), axis=-1).mean()
     assert t_err < 2e-3, t_err       # gauge fully constrained: exact recovery
     assert p_err < 2e-3, p_err
+
+
+def test_structure_presolve(rng):
+    """BASettings.structure_presolve: landmark-only GN passes before the
+    joint solve (the reference's localBA structure stage,
+    src/bundle_adjustment.cpp:480-625).  With heavily perturbed points and
+    near-exact poses, presolve alone must recover most of the structure, and
+    the presolved joint solve must not be worse than the plain one."""
+    poses_true, pts_true, poses_init, pts_init, obs, table = _window_problem(
+        rng, noise_px=0.1, pose_noise=0.0, pt_noise=0.5
+    )
+    K, P = 5, 120
+    fixed_cam = jnp.zeros((K,), bool).at[0].set(True).at[1].set(True)
+    fixed_pt = jnp.zeros((P,), bool)
+
+    # presolve-only (0 joint iterations): structure must improve a lot
+    _, pts_pre, _, chi_pre = local_ba(
+        poses_true, pts_init, obs, table, fixed_cam, fixed_pt,
+        FX, FY, CX, CY,
+        settings=BASettings(iterations=1, structure_presolve=3), num_cams=K,
+    )
+    _, _, _, chi_plain0 = local_ba(
+        poses_true, pts_init, obs, table, fixed_cam, fixed_pt,
+        FX, FY, CX, CY, settings=BASettings(iterations=1), num_cams=K,
+    )
+    assert float(chi_pre) < 0.5 * float(chi_plain0)
+
+    err_init = float(np.mean(np.linalg.norm(np.asarray(pts_init - pts_true), axis=-1)))
+    err_pre = float(np.mean(np.linalg.norm(np.asarray(pts_pre - pts_true), axis=-1)))
+    assert err_pre < 0.3 * err_init, (err_init, err_pre)
+
+    # full solve with presolve lands at least as good a chi² as without
+    _, _, _, chi_with = local_ba(
+        poses_init, pts_init, obs, table, fixed_cam, fixed_pt,
+        FX, FY, CX, CY,
+        settings=BASettings(iterations=8, structure_presolve=2), num_cams=K,
+    )
+    _, _, _, chi_without = local_ba(
+        poses_init, pts_init, obs, table, fixed_cam, fixed_pt,
+        FX, FY, CX, CY, settings=BASettings(iterations=8), num_cams=K,
+    )
+    assert float(chi_with) <= 1.1 * float(chi_without)

@@ -57,7 +57,7 @@ def test_distributed_ba_matches_single_device(rng):
             if p >= 0:
                 pts_sharded[s, lp] = np.asarray(pts_init)[p]
 
-    poses_out, pts_out, chi = distributed_local_ba(
+    poses_out, pts_out, chi, S_red = distributed_local_ba(
         poses_init, jnp.asarray(pts_sharded),
         jnp.asarray(s_cam), jnp.asarray(s_pt), jnp.asarray(s_uv),
         jnp.asarray(s_valid), jnp.asarray(s_table), fixed_cam,

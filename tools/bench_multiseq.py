@@ -86,19 +86,29 @@ def main():
     ok_frac = float(np.mean(np.asarray(outs.ok)))
     assert ok_frac > 0.95, f"multi-seq tracking failing ({ok_frac:.0%} ok)"
 
+    # measure the tunnel's dispatch and sync legs separately; each timed
+    # chunk pays one dispatch + one sync, so the correction is disp+sync
+    # per chunk (see bench.py for the rationale; raw is emitted too)
     null = jax.jit(lambda x: x + 1)
     z = jnp.zeros(())
     jax.block_until_ready(null(z))
-    t0 = time.perf_counter()
+    disp = sync = 0.0
     for _ in range(10):
-        jax.block_until_ready(null(z))
-    rtt = (time.perf_counter() - t0) / 10
+        t0 = time.perf_counter()
+        y = null(z)
+        t1 = time.perf_counter()
+        jax.block_until_ready(y)
+        t2 = time.perf_counter()
+        disp += t1 - t0
+        sync += t2 - t1
+    rtt = (disp + sync) / 10
 
     t0 = time.perf_counter()
     for ch in chunks[1:]:
         state, outs = fn(state, ch)
         jax.block_until_ready(outs.R)
-    elapsed = max(time.perf_counter() - t0 - args.chunks * 2 * rtt, 1e-9)
+    raw_elapsed = time.perf_counter() - t0
+    elapsed = max(raw_elapsed - args.chunks * rtt, 1e-9)
     total_frames = args.chunks * chunk_frames * S
     fps = total_frames / elapsed
     assert float(np.mean(np.asarray(outs.ok))) > 0.95
@@ -109,6 +119,8 @@ def main():
         "unit": "frames/sec/chip",
         "sequences": S,
         "per_seq_fps": round(fps / S, 2),
+        "raw_fps": round(total_frames / raw_elapsed, 2),
+        "rtt_ms": round(rtt * 1e3, 3),
     }))
 
 
