@@ -407,6 +407,111 @@ class SparseImageAlign:
         v = (fy * p_cur[..., 1] / z + cy) * scale
         return jnp.stack([u, v], axis=-1)
 
+    # -- keyframe-cadence precompute + per-frame consume ---------------------
+    def precompute_ref_windows(self, ref_pyramid, feats: AlignFeatures, fx, fy):
+        """Reference-side per-level tables: (patches, J, visible) per level.
+
+        The reference half of :meth:`_align_impl_windows` — ref windows,
+        patch + gradient sampling, and the frozen inverse-compositional
+        Jacobian — depends only on the reference keyframe and its feature
+        set, which change at KEYFRAME cadence.  Computing it per frame was
+        ~2/3 of the measured alignment cost (round 5 probe: the fused kernel
+        itself is ~8 µs/LM-iteration; the per-frame XLA glue dominated).
+        The tables ride in the tracker state and are rebuilt once per
+        keyframe; :meth:`align_precomputed` consumes them each frame.
+
+        Pure inverse-compositional (the reference's own formulation,
+        src/image_alignment.cpp:69-192 computeJacobian — evaluated once per
+        level at the reference): no per-frame ESM gradient resampling.
+        """
+        WIN = self.window
+        P = self.patch_size
+        out_patches, out_J, out_vis = [], [], []
+        from sdvo_tpu.ops.window_sampler import sample_windows_grad, window_gather
+
+        for level in range(self.max_level - self.min_level + 1):
+            lv = self.min_level + level
+            scale = 1.0 / (1 << lv)
+            uv_l = feats.uv_host * scale
+            win_r, org_r, ok_r = window_gather(ref_pyramid[lv], uv_l, WIN)
+            patches, gx, gy, ok_s = sample_windows_grad(win_r, uv_l - org_r, P)
+            row_u, row_v = self._jac_rows(feats, fx, fy, lv)
+            J = gx[..., None] * row_u[:, None, :] + gy[..., None] * row_v[:, None, :]
+            vis = feats.valid & ok_r & ok_s
+            out_patches.append(jnp.where(vis[:, None], patches, 0.0))
+            out_J.append(jnp.where(vis[:, None, None], J, 0.0))
+            out_vis.append(vis)
+        return tuple(out_patches), tuple(out_J), tuple(out_vis)
+
+    def align_precomputed(
+        self,
+        T_init: SE3,
+        tables,  # (patches, J, vis) tuples from precompute_ref_windows
+        cur_pyramid: Tuple[jax.Array, ...],  # per level: (H_l, W_l)
+        feats: AlignFeatures,
+        fx, fy, cx, cy,
+    ):
+        """Coarse-to-fine alignment against precomputed reference tables.
+
+        Per frame and level this does ONLY: project → gather current-image
+        windows → run the level LM (fused Pallas kernel on TPU, XLA
+        optimize_lm elsewhere)."""
+        from sdvo_tpu.ops.window_sampler import sample_windows, window_gather
+
+        t_patches, t_J, t_vis = tables
+        WIN = self.window
+        P = self.patch_size
+        T = T_init
+        rmse = jnp.asarray(0.0, feats.points_ref.dtype)
+        status = jnp.asarray(0, jnp.int32)
+        for level in range(self.max_level, self.min_level - 1, -1):
+            li = level - self.min_level
+            patches, J3, vis_ref = t_patches[li], t_J[li], t_vis[li]
+            scale = 1.0 / (1 << level)
+            uv0 = self._project_level(T, feats, fx, fy, cx, cy, level)
+            win_cur, org_c, ok_oc = window_gather(cur_pyramid[level], uv0, WIN)
+            visible = vis_ref & ok_oc
+
+            if self.backend == "pallas":
+                from sdvo_tpu.ops.pallas_lm import lm_align_level
+
+                its = max(4, self.settings.max_iterations
+                          - self.level_taper * (self.max_level - level))
+                T, rmse, _iters = lm_align_level(
+                    T, win_cur, patches, J3, feats.points_ref, org_c, visible,
+                    fx * scale, fy * scale, cx * scale, cy * scale,
+                    patch=P, max_iters=its,
+                    min_rel_decrease=self.settings.min_rel_decrease,
+                    interpret=self._interpret,
+                )
+                status = jnp.asarray(0, jnp.int32)
+                continue
+
+            J = jnp.where(visible[:, None, None], J3, 0.0).reshape(-1, 6)
+
+            def residual_fn(T_, _lvl=level, _patches=patches, _visible=visible,
+                            _win=win_cur, _org=org_c):
+                p_cur = T_.apply(feats.points_ref)
+                z = jnp.where(p_cur[..., 2] < 1e-6, 1.0, p_cur[..., 2])
+                scale_ = 1.0 / (1 << _lvl)
+                u = (fx * p_cur[..., 0] / z + cx) * scale_
+                v = (fy * p_cur[..., 1] / z + cy) * scale_
+                offs = jnp.stack([u, v], axis=-1) - _org
+                vals, ok_s = sample_windows(_win, offs, P)
+                vis = _visible & ok_s & (p_cur[..., 2] > 1e-6)
+                r = jnp.where(vis[:, None], vals - _patches, 0.0)
+                return r.reshape(-1), jnp.broadcast_to(vis[:, None], r.shape).reshape(-1)
+
+            def jacobian_fn(T_, _J=J):
+                return _J
+
+            def update_fn(T_, dx):
+                return T_.compose(se3.exp(-dx))
+
+            T, rmse, status = optimize_lm(T, residual_fn, jacobian_fn, update_fn,
+                                          self.settings)
+        return T, rmse, status
+
     def align(
         self,
         T_init: SE3,

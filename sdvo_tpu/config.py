@@ -91,6 +91,10 @@ class AlgorithmConfig:
     epipolar_search_steps: int = 16
     # LM settings (src/optimizer.cpp:13-27).
     max_lm_iterations: int = 20
+    # Structure-only GN passes before the joint local-BA solve — the
+    # reference's localBA structure stage (src/bundle_adjustment.cpp:480-625).
+    # 0 = off (the joint solve usually converges in 2-3 steps anyway).
+    ba_structure_presolve: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

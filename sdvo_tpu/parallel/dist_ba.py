@@ -175,10 +175,31 @@ def distributed_local_ba(
             g_fill = Yr @ gp.reshape(P_s * 3)
 
             # ---- the one collective: reduce the camera system over shards ----
-            Hcc = jax.lax.psum(Hcc, axis_name="shard")
-            gc = jax.lax.psum(gc, axis_name="shard")
-            S_fill = jax.lax.psum(S_fill, axis_name="shard")
-            g_fill = jax.lax.psum(g_fill, axis_name="shard")
+            # S_fill (= Σ_p W_p Hpp⁻¹ W_pᵀ) and the Hcc blocks are symmetric:
+            # psum only the packed lower triangle + the two rhs vectors as ONE
+            # fused payload — 6K(6K+1)/2 + 36K/… floats instead of (6K)² + …
+            # (≈ half the bytes on the wire, and one collective launch).
+            tl_r, tl_c = np.tril_indices(K * 6)
+            hl_r, hl_c = np.tril_indices(6)
+            payload = jnp.concatenate([
+                S_fill[tl_r, tl_c],
+                Hcc[:, hl_r, hl_c].reshape(-1),
+                gc.reshape(-1),
+                g_fill,
+            ])
+            payload = jax.lax.psum(payload, axis_name="shard")
+            nS = tl_r.shape[0]
+            nH = K * hl_r.shape[0]
+            S_low = jnp.zeros((K * 6, K * 6), dtype).at[tl_r, tl_c].set(payload[:nS])
+            S_fill = S_low + S_low.T - jnp.diag(jnp.diagonal(S_low))
+            H_low = jnp.zeros((K, 6, 6), dtype).at[:, hl_r, hl_c].set(
+                payload[nS : nS + nH].reshape(K, -1)
+            )
+            Hcc = H_low + H_low.transpose(0, 2, 1) - jax.vmap(jnp.diag)(
+                jax.vmap(jnp.diagonal)(H_low)
+            )
+            gc = payload[nS + nH : nS + nH + K * 6].reshape(K, 6)
+            g_fill = payload[nS + nH + K * 6 :]
 
             Sd = -S_fill
             Sd = Sd.reshape(K, 6, K, 6).at[jnp.arange(K), :, jnp.arange(K), :].add(

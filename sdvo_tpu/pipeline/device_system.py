@@ -97,6 +97,12 @@ class TrackRef(NamedTuple):
     T_ref_w: SE3  # world → ref keyframe
     ref_slot: jax.Array  # scalar int32 arena slot
     feats: AlignFeatures  # alignment feature set (uv in ref, 3D in ref cam frame)
+    # precomputed reference-side alignment tables (keyframe cadence — see
+    # SparseImageAlign.precompute_ref_windows): per level (N, P²) patches,
+    # (N, P², 6) frozen IC Jacobians, (N,) ref visibility
+    align_patches: Tuple[jax.Array, ...]
+    align_J: Tuple[jax.Array, ...]
+    align_vis: Tuple[jax.Array, ...]
 
 
 class VOState(NamedTuple):
@@ -140,6 +146,9 @@ class SuperstepConfig(NamedTuple):
     staleness: int
     convergence_factor: float
     grad_threshold: float
+    # structure-only GN passes before the joint windowed BA (the reference's
+    # localBA structure stage; BASettings.structure_presolve). 0 = off.
+    ba_presolve: int = 0
 
 
 def _orthonormalize(R: jax.Array) -> jax.Array:
@@ -193,9 +202,12 @@ class DeviceVO:
         pyr = build_pyramid(image, cfg.levels)
 
         # 2. sparse image alignment vs the reference keyframe ----------------
-        host_pyr = tuple(im[None] for im in state.ref.pyr_images)
-        T_est, rmse, _status = self.aligner._align_impl(
-            state.T_cur_ref, host_pyr, tuple(pyr.images), state.ref.feats,
+        # per-frame work is ONLY project → gather windows → level LM; the
+        # reference tables were built at keyframe cadence (state.ref)
+        T_est, rmse, _status = self.aligner.align_precomputed(
+            state.T_cur_ref,
+            (state.ref.align_patches, state.ref.align_J, state.ref.align_vis),
+            tuple(pyr.images), state.ref.feats,
             fx, fy, cx, cy,
         )
         T_cur_w = T_est.compose(state.ref.T_ref_w)
@@ -546,9 +558,13 @@ class DeviceVO:
                 track_valid & (p_ref_p[..., 2] > 1e-3)
             ),
         )
+        t_patches, t_J, t_vis = self.aligner.precompute_ref_windows(
+            tuple(pyr.images), feats, fx, fy
+        )
         new_ref = TrackRef(
             pyr_images=tuple(pyr.images), T_ref_w=T_cur_w,
             ref_slot=slot, feats=feats,
+            align_patches=t_patches, align_J=t_J, align_vis=t_vis,
         )
         ref = jax.tree_util.tree_map(
             lambda old, new: jnp.where(frozen, old, new), state.ref, new_ref
@@ -609,7 +625,8 @@ class DeviceVO:
             table, fixed_cam, ~p_live,
             cam.fx, cam.fy, cam.cx, cam.cy,
             settings=BASettings(iterations=cfg.ba_iterations, huber_delta=2.0,
-                                min_rel_decrease=1e-3),
+                                min_rel_decrease=1e-3,
+                                structure_presolve=cfg.ba_presolve),
             num_cams=K,
         )
         kf_R = jnp.where(do_ba, _orthonormalize(poses_out.rotation), m.kf_R)
@@ -674,7 +691,8 @@ class DeviceSystem:
     def __init__(self, config: Config, camera: Optional[PinholeCamera] = None,
                  seed: int = 0, supersteps_per_chunk: int = 8,
                  max_promote: int = 64, ba_points: int = 1024,
-                 ba_iterations: int = 3, backend: str = "auto"):
+                 ba_iterations: int = 3, backend: str = "auto",
+                 ba_presolve: Optional[int] = None):
         self.config = config
         self.host = System(config, camera, seed)
         cfg_a = config.algorithm
@@ -699,6 +717,8 @@ class DeviceSystem:
             staleness=cfg_a.filter_staleness_keyframes,
             convergence_factor=cfg_a.filter_convergence_sigma_factor,
             grad_threshold=float(config.initialization.threshold_gradient_magnitude),
+            ba_presolve=(cfg_a.ba_structure_presolve if ba_presolve is None
+                         else ba_presolve),
         )
         hc = self.host.camera
         dev_cam = PinholeCamera(
@@ -798,11 +818,16 @@ class DeviceSystem:
             points_ref=jnp.asarray(p_ref, dtype),
             valid=jnp.asarray(val),
         )
+        pyr_imgs = tuple(im.astype(dtype) for im in ref_rec.pyramid.images)
+        t_patches, t_J, t_vis = jax.jit(self.vo.aligner.precompute_ref_windows)(
+            pyr_imgs, feats, self.vo.cam.fx, self.vo.cam.fy
+        )
         ref = TrackRef(
-            pyr_images=tuple(im.astype(dtype) for im in ref_rec.pyramid.images),
+            pyr_images=pyr_imgs,
             T_ref_w=SE3(jnp.asarray(T_ref[:3, :3], dtype), jnp.asarray(T_ref[:3, 3], dtype)),
             ref_slot=jnp.asarray(slot, jnp.int32),
             feats=feats,
+            align_patches=t_patches, align_J=t_J, align_vis=t_vis,
         )
         prev = sys.prev_rel
         self.state = VOState(

@@ -732,7 +732,10 @@ class System:
             ),
             jnp.asarray(table), jnp.asarray(fixed), jnp.zeros((P,), bool),
             self.camera.fx, self.camera.fy, self.camera.cx, self.camera.cy,
-            settings=BASettings(iterations=8, huber_delta=2.0),
+            settings=BASettings(
+                iterations=8, huber_delta=2.0,
+                structure_presolve=self.config.algorithm.ba_structure_presolve,
+            ),
             num_cams=K,
         )
         # write back poses/points

@@ -112,15 +112,49 @@ def worker(args):
         jax.block_until_ready(out)
         return out
 
-    _, _, chi = run()  # compile
+    out = run()  # compile
+    chi = out[2]
     ts = []
     for _ in range(3):
         t0 = time.perf_counter()
         run()
         ts.append(time.perf_counter() - t0)
+
+    # measured COLLECTIVE cost: a pure-psum program with the exact payload the
+    # BA iteration reduces (packed symmetric reduced system + rhs — see
+    # dist_ba), iterated like the solver, on the same multi-process mesh.
+    K6 = K * 6
+    n_payload = K6 * (K6 + 1) // 2 + K * 21 + K6 + K6
+    payload_bytes = n_payload * 4
+    comm_ms = 0.0
+    if nsh > 1:
+        import jax as _jax
+        from jax.sharding import PartitionSpec as PS
+
+        def psum_only(x):
+            def body(c, _):
+                return _jax.lax.psum(c, axis_name="shard"), None
+            y, _ = _jax.lax.scan(body, x, None, length=args.iters)
+            return y
+
+        f = _jax.jit(
+            _jax.shard_map(psum_only, mesh=mesh, in_specs=PS(), out_specs=PS(),
+                           check_vma=False)
+        )
+        xp = g(np.zeros((n_payload,), np.float32), repl)
+        _jax.block_until_ready(f(xp))
+        cts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            _jax.block_until_ready(f(xp))
+            cts.append(time.perf_counter() - t0)
+        comm_ms = float(np.median(cts)) * 1e3
     if args.pid == 0:
         print(json.dumps({"nproc": nsh, "ms": float(np.median(ts)) * 1e3,
-                          "chi2": float(chi)}), flush=True)
+                          "chi2": float(chi),
+                          "comm_ms_total": comm_ms,
+                          "comm_ms_per_iter": comm_ms / args.iters,
+                          "psum_payload_bytes": payload_bytes}), flush=True)
 
 
 def orchestrate(args):
@@ -176,10 +210,11 @@ def orchestrate(args):
             "measured rows: one PROCESS per shard, gloo CPU collectives through "
             "jax.distributed (the multi-controller path a pod uses), one core per "
             "process via taskset; wall-clock scaling is real but capped by this "
-            f"rig's {os.cpu_count()} cores. work_model rows: measured single-"
-            "process time of the 1/k workload slice each pod chip would run "
-            "(communication excluded; the per-iteration psum is (6K)^2 floats "
-            "~= 37 KB at K=16, <<1 ms on ICI)."
+            f"rig's {os.cpu_count()} cores. comm_ms_*: measured pure-psum program "
+            "with the solver's exact packed payload (symmetric half of the "
+            "reduced camera system + rhs) on the same mesh — the measured "
+            "compute/collective split. work_model rows: measured single-process "
+            "time of the 1/k workload slice each pod chip would run."
         ),
         "workload": {"K": args.cams, "P": args.points, "obs": args.obs,
                      "iterations": args.iters},
