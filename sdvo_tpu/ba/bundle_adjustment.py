@@ -287,6 +287,16 @@ def local_ba(
         chi2_of(r0, w0, ok0), jnp.asarray(0, jnp.int32), jnp.asarray(False),
     )
 
+    # one-hot observation-assignment matrices, FIXED across LM iterations:
+    # the per-iteration segment_sum/scatter-add accumulation lowered to
+    # row-granularity scatters (~0.34 ms/frame amortized in the round-5
+    # device trace); as matmuls against these constants the accumulation is
+    # pure MXU work. Invalid observations contribute zero rows (their
+    # jacobians are masked), so no extra masking is needed here.
+    M = obs.cam_idx.shape[0]
+    Ap = (obs.pt_idx[None, :] == jnp.arange(P)[:, None]).astype(dtype)  # (P, M)
+    Ac = (obs.cam_idx[None, :] == jnp.arange(K)[:, None]).astype(dtype)  # (K, M)
+
     def step(s: _BAState, _=None):
         r, ok, p_cam, T = residuals(s.poses, s.points)
         w = _huber_w(r, settings.huber_delta) * ok.astype(dtype)
@@ -308,10 +318,10 @@ def local_ba(
         gc_obs = jnp.sum(JcW * r[:, :, None], axis=1)  # (M,6)
         gp_obs = jnp.sum(JpW * r[:, :, None], axis=1)  # (M,3)
 
-        Hcc = jax.ops.segment_sum(Hcc_obs, obs.cam_idx, num_segments=K)  # (K,6,6)
-        gc = jax.ops.segment_sum(gc_obs, obs.cam_idx, num_segments=K)
-        Hpp = jax.ops.segment_sum(Hpp_obs, obs.pt_idx, num_segments=P)
-        gp = jax.ops.segment_sum(gp_obs, obs.pt_idx, num_segments=P)
+        Hcc = (Ac @ Hcc_obs.reshape(M, 36)).reshape(K, 6, 6)
+        gc = Ac @ gc_obs
+        Hpp = (Ap @ Hpp_obs.reshape(M, 9)).reshape(P, 3, 3)
+        gp = Ap @ gp_obs
 
         lam = s.lam
         Hpp_d = Hpp + lam * jnp.eye(3, dtype=dtype)
@@ -323,9 +333,13 @@ def local_ba(
         # blocks. The fill-in Σ_p Wd[p] Hpp⁻¹[p] Wd[p]ᵀ then flattens into a
         # single (6K × 3P) @ (3P × 6K) MXU matmul instead of P·K² tiny padded
         # block products (which cost ~50 ms/keyframe before).
-        Wd = jnp.zeros((P, K, 6, 3), dtype).at[obs.pt_idx, obs.cam_idx].add(
-            Wcp_obs * ok[:, None, None].astype(dtype)
-        )  # (P, K, 6, 3)
+        # per-obs blocks broadcast to their camera column (VPU, tiny), then
+        # one (P×M)@(M×18K) MXU matmul accumulates per point
+        Wflat = (
+            Ac.T[:, :, None]
+            * (Wcp_obs * ok[:, None, None].astype(dtype)).reshape(M, 1, 18)
+        ).reshape(M, K * 18)
+        Wd = (Ap @ Wflat).reshape(P, K, 6, 3)  # (P, K, 6, 3)
         Yd = jnp.sum(Wd[..., :, None] * Hpp_inv[:, None, None, :, :], axis=-2)  # (P,K,6,3)
         Wr = Wd.transpose(1, 2, 0, 3).reshape(K * 6, P * 3)
         Yr = Yd.transpose(1, 2, 0, 3).reshape(K * 6, P * 3)

@@ -61,14 +61,48 @@ def _conv1d_axis(x: jax.Array, kernel: Sequence[float], axis: int) -> jax.Array:
     return out
 
 
+import functools
+
+import numpy as np
+
+
+@functools.lru_cache(maxsize=None)
+def _decimation_matrix(n: int) -> "np.ndarray":
+    """Dense (ceil(n/2), n) operator = 5-tap [1,4,6,4,1]/16 blur with
+    REFLECT_101 borders followed by even-index decimation, as a matrix.
+
+    pyrDown as two MXU matmuls: the straightforward ``blurred[::2, ::2]``
+    decimation lowers to an ELEMENT-granularity gather on TPU (stride-2 on
+    the 128-lane minor axis breaks tiling) — measured 1.1 ms/frame for the
+    level-1 build alone (round-5 device trace), ~45× the matmul form.
+    """
+    m = -(-n // 2)
+    k = np.asarray(_PYRDOWN_KERNEL, np.float64) / 16.0
+    D = np.zeros((m, n), np.float64)
+    for i in range(m):
+        c = 2 * i
+        for t in range(-2, 3):
+            j = c + t
+            # BORDER_REFLECT_101: [c b | a b c d | c b]
+            if j < 0:
+                j = -j
+            elif j >= n:
+                j = 2 * (n - 1) - j
+            D[i, j] += k[t + 2]
+    return D
+
+
 def pyr_down(image: jax.Array) -> jax.Array:
     """OpenCV-compatible pyrDown: 5×5 Gaussian blur + 2× decimation.
 
     Output size ``ceil(n/2)`` per OpenCV (odd inputs keep their last sample).
+    Implemented as ``D_h @ image @ D_wᵀ`` with constant decimated-blur
+    matrices — both steps run on the MXU (see _decimation_matrix).
     """
-    k = [v / 16.0 for v in _PYRDOWN_KERNEL]
-    blurred = _conv1d_axis(_conv1d_axis(image, k, 0), k, 1)
-    return blurred[::2, ::2]
+    H, W = image.shape
+    Dh = jnp.asarray(_decimation_matrix(H), image.dtype)
+    Dw = jnp.asarray(_decimation_matrix(W), image.dtype)
+    return (Dh @ image) @ Dw.T
 
 
 class ImagePyramid(NamedTuple):

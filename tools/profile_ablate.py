@@ -85,7 +85,10 @@ orig_align = vo.aligner._align_impl
 class FakeAligner:
     backend = vo.aligner.backend
     _interpret = vo.aligner._interpret
+    precompute_ref_windows = vo.aligner.precompute_ref_windows
     def _align_impl(self, T0, host_pyr, cur_pyr, feats, fx, fy, cx, cy):
+        return T0, jnp.asarray(0.5, jnp.float32), jnp.asarray(0, jnp.int32)
+    def align_precomputed(self, T0, tables, cur_pyr, feats, fx, fy, cx, cy):
         return T0, jnp.asarray(0.5, jnp.float32), jnp.asarray(0, jnp.int32)
 vo4 = DeviceVO(vo.cam, vo.cfg, dtype=vo.dtype)
 vo4.aligner = FakeAligner()
