@@ -209,6 +209,9 @@ def epipolar_search(
 
         Fn, K = locs.shape[:2]
         locs_f = locs.reshape(Fn * K, 2)
+        # (bf16 windows were tried for this gather in round 5 — no measurable
+        # win at the 2 ms/frame state, so the path stays f32 for exact parity
+        # with the XLA backend; depth_scores accepts bf16 if that changes)
         win, org, ok_w = window_gather(cur, locs_f, win_h=patch_size + 5)
         if jax.default_backend() == "tpu":
             # fused scoring sweep: sample+center+ZSSD for all (filter, step)

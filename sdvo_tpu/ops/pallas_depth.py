@@ -36,7 +36,8 @@ def _depth_score_kernel(
     out_ref,  # (B, 4): score, ok, 0, 0
     *, patch: int, win_h: int, win_w: int,
 ):
-    win = win_ref[...]
+    win = win_ref[...].astype(jnp.float32)  # windows may arrive bf16 (the
+    # HBM→VMEM DMA then moves half the bytes; scoring stays f32 in-kernel)
     cref = cref_ref[...]
     ox = offs_ref[:, 0:1]
     oy = offs_ref[:, 1:2]
@@ -85,5 +86,9 @@ def depth_scores(
         out_specs=pl.BlockSpec((blk, 4), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(windows_flat.astype(f32), cref_rep.astype(f32), offs.astype(f32))
+    )(
+        windows_flat if windows_flat.dtype == jnp.bfloat16
+        else windows_flat.astype(f32),
+        cref_rep.astype(f32), offs.astype(f32),
+    )
     return out[:, 0], out[:, 1] > 0.5

@@ -185,7 +185,7 @@ class DeviceVO:
         # schedule in SparseImageAlign tapers fine levels further) — with the
         # CV motion prior the basin is small and the early exit handles the
         # rest; bench accuracy gates verify the trade
-        device_default = LMSettings(mad="hist", min_rel_decrease=1e-3,
+        device_default = LMSettings(mad="hist", min_rel_decrease=2e-3,
                                     max_iterations=10)
         self.aligner = SparseImageAlign(
             patch_size=cfg.patch_align, min_level=0, max_level=cfg.levels - 1,
@@ -691,8 +691,12 @@ class DeviceSystem:
     def __init__(self, config: Config, camera: Optional[PinholeCamera] = None,
                  seed: int = 0, supersteps_per_chunk: int = 8,
                  max_promote: int = 64, ba_points: int = 1024,
-                 ba_iterations: int = 3, backend: str = "auto",
+                 ba_iterations: int = 2, backend: str = "auto",
                  ba_presolve: Optional[int] = None):
+        # ba_iterations default 2: the r5 windowed-BA ablation
+        # (tools/ablate_ba.py) measured IDENTICAL ATE for 2/3/4 iterations
+        # (the early-exit while_loop already stops when converged); each
+        # saved iteration is ~0.25 ms of keyframe device time
         self.config = config
         self.host = System(config, camera, seed)
         cfg_a = config.algorithm

@@ -36,6 +36,12 @@ def main():
     ap.add_argument("--seqs", type=int, default=4)
     ap.add_argument("--supersteps", type=int, default=8)
     ap.add_argument("--chunks", type=int, default=2)
+    # one-chip multi-sequence batching: vmap of a pallas_call serializes the
+    # kernel instances over an outer grid (each sequence's fused LM/FA/pose/
+    # depth kernel runs in turn), while the XLA backend's ops batch across
+    # the seq axis natively — for >1 sequence per chip "xla" usually wins;
+    # across chips (1 seq/device, the pod deployment) "pallas" is fastest.
+    ap.add_argument("--backend", default="pallas", choices=["pallas", "xla"])
     args = ap.parse_args()
 
     import bench as B
@@ -58,7 +64,8 @@ def main():
         rng = np.random.default_rng(i)
         frames, _ = B.render_sequence(rng, n_frames)
         seqs.append(frames)
-        ds = DeviceSystem(config, supersteps_per_chunk=args.supersteps)
+        ds = DeviceSystem(config, supersteps_per_chunk=args.supersteps,
+                          backend=args.backend)
         k = 0
         while ds.state is None and k < len(frames):
             ds.add_image(frames[k].astype(np.float32), float(k))
@@ -119,6 +126,7 @@ def main():
         "unit": "frames/sec/chip",
         "sequences": S,
         "per_seq_fps": round(fps / S, 2),
+        "backend": args.backend,
         "raw_fps": round(total_frames / raw_elapsed, 2),
         "rtt_ms": round(rtt * 1e3, 3),
     }))
