@@ -196,7 +196,7 @@ def local_ba(
     poses: SE3,  # (K,) world→camera
     points: jax.Array,  # (P, 3)
     obs: BAObservations,
-    point_table: jax.Array,  # retained for API compatibility (see note)
+    point_table: Optional[jax.Array],  # UNUSED by this solver (see note) — None is fine
     fixed_cam: jax.Array,  # (K,) bool
     fixed_pt: jax.Array,  # (P,) bool (e.g. unused arena slots)
     fx, fy, cx, cy,
